@@ -215,7 +215,33 @@ def cover_bbox_adaptive(
     return cover_bbox(lon_min, lat_min, lon_max, lat_max, r), r
 
 
-def polygon_cover(rings, res: int, max_cells: int = 4096) -> np.ndarray:
+def zone_cover(parts, res: int, max_cells: int = 4096) -> tuple[np.ndarray, int]:
+    """Covering cells for a whole (Multi)Polygon at ONE effective res.
+
+    The effective res is picked from the combined bbox so the covering
+    stays under ``max_cells`` — giant zones coarsen, small zones keep
+    ``res``.  A single res per zone guarantees each (point, zone)
+    candidate pair appears at most once in a prefix join (the point's
+    ancestor cell at that res is unique).
+
+    ``parts``: list of polygons, each a list of rings.
+    Returns (cells int64 array, effective_res).
+    """
+    exts = [np.asarray(p[0], dtype=np.float64) for p in parts]
+    allv = np.vstack(exts)
+    lon_min, lat_min = allv.min(axis=0)
+    lon_max, lat_max = allv.max(axis=0)
+    _, eff = cover_bbox_adaptive(lon_min, lat_min, lon_max, lat_max, res, max_cells)
+    out: list[np.ndarray] = []
+    for p in parts:
+        out.append(polygon_cover(p, eff, max_cells=max_cells, _fixed_res=True))
+    cells_ = np.unique(np.concatenate(out))
+    return cells_, eff
+
+
+def polygon_cover(
+    rings, res: int, max_cells: int = 4096, _fixed_res: bool = False
+) -> np.ndarray:
     """Cells at ``res`` that intersect the polygon (exterior ring +
     optional hole rings, each an (N,2) array of (lon, lat)).
 
@@ -229,7 +255,12 @@ def polygon_cover(rings, res: int, max_cells: int = 4096) -> np.ndarray:
     ext = np.asarray(rings[0], dtype=np.float64)
     lon_min, lat_min = ext.min(axis=0)
     lon_max, lat_max = ext.max(axis=0)
-    cells, eff = cover_bbox_adaptive(lon_min, lat_min, lon_max, lat_max, res, max_cells)
+    if _fixed_res:
+        cells = cover_bbox(lon_min, lat_min, lon_max, lat_max, res)
+    else:
+        cells, eff = cover_bbox_adaptive(
+            lon_min, lat_min, lon_max, lat_max, res, max_cells
+        )
     if len(cells) <= 4:  # tiny covering — keep it all
         return cells
     clo, cla, chi, cha = cell_bounds(cells)
@@ -251,4 +282,5 @@ __all__ = [
     "cover_bbox",
     "cover_bbox_adaptive",
     "polygon_cover",
+    "zone_cover",
 ]

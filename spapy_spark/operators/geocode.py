@@ -1,0 +1,62 @@
+"""Geocoding documents from extracted text (north-rule stage 1).
+
+Coordinate mentions like ``47.6097°N 122.3331°W`` are recovered with
+Spark's built-in ``regexp_extract`` — the whole stage is JVM-side
+Catalyst/codegen, zero Python (faster than any pandas UDF and keeps the
+``text`` column untouched: byte-identity invariant).
+
+An optional gazetteer path broadcast-joins place names to coordinates —
+the classic small-dim broadcast join (SURVEY.md §2.10).
+
+The reference has no geocoder; this stage is mandated by
+BASELINE.json's north_star ("geocoding documents from extracted text").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 12.3456°N 71.0000°W — the canonical mention format (sources/synth.py)
+COORD_RE = r"(\d+\.\d{4})°([NS]) (\d+\.\d{4})°([EW])"
+
+
+def geocode_coords(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``lat``/``lon`` doubles parsed from coordinate mentions.
+
+    Rows without a mention get NULL lat/lon (callers filter or keep).
+    """
+    t = F.col(text_col)
+    lat_s = F.regexp_extract(t, COORD_RE, 1)
+    ns = F.regexp_extract(t, COORD_RE, 2)
+    lon_s = F.regexp_extract(t, COORD_RE, 3)
+    ew = F.regexp_extract(t, COORD_RE, 4)
+    lat = F.when(
+        lat_s != "", lat_s.cast("double") * F.when(ns == "S", -1.0).otherwise(1.0)
+    )
+    lon = F.when(
+        lon_s != "", lon_s.cast("double") * F.when(ew == "W", -1.0).otherwise(1.0)
+    )
+    return df.withColumn("lat", lat).withColumn("lon", lon)
+
+
+def geocode_gazetteer(
+    df: DataFrame,
+    gazetteer: DataFrame,
+    text_col: str = "text",
+    name_col: str = "place",
+) -> DataFrame:
+    """Broadcast-join place-name mentions to gazetteer coordinates.
+
+    ``gazetteer`` is small (place, lat, lon); the join is a broadcast
+    hash join — no shuffle of the (huge) document side.
+    """
+    toks = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok")
+    cand = df.select("*", toks)
+    g = F.broadcast(
+        gazetteer.select(
+            F.lower(F.col(name_col)).alias("__tok"),
+            F.col("lat").alias("gaz_lat"),
+            F.col("lon").alias("gaz_lon"),
+        )
+    )
+    return cand.join(g, "__tok", "inner").drop("__tok")

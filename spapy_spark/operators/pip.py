@@ -1,0 +1,329 @@
+"""Point-in-polygon join — the engine's flagship operator.
+
+Reference semantics: SpaPy answers containment via its O(N·M)
+nested-loop overlay (/root/reference/SpaVectors.py:939-983, kernel
+:901-937).  Output rows here match that brute force exactly (tests
+compare against a reimplemented nested loop) but execute as a proper
+distributed join:
+
+- **broadcast path** (`pip_join_broadcast`): the polygon layer is small
+  (zones).  It is decoded once per executor into a :class:`ZoneIndex`
+  (cell-bucketed, the STRtree role) and probed from ``mapInPandas`` —
+  no shuffle of the document side at all.  This is the plan the north
+  rule wants at 10^12 docs × O(10^5) zones.
+- **cell-join path** (`pip_join_cells`): both sides large.  Zones
+  explode to their covering cells, points encode their cell, Catalyst
+  hash-joins on the integer cell id, then candidates are refined with
+  the vectorized ray cast.  Optional salting spreads hot cells
+  (Zipf-city skew) across ``salt`` buckets.
+
+Exactness: coverings are supersets (no false negatives) and a point has
+exactly one cell at a given res, so cell-join candidates contain each
+true pair exactly once — no dedup pass needed.  Refinement uses
+``covers`` (boundary-inclusive) by default; ``contains`` mirrors GEOS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .. import cells
+from ..geometry import kernels, wkb
+
+_PREDICATES = ("covers", "contains")
+
+
+class ZoneIndex:
+    """Cell-bucketed polygon index (the per-executor STRtree substitute).
+
+    Buckets every zone's covering cells at an auto-picked resolution;
+    probe = encode points → group by cell → refine only zones bucketed
+    in that cell.  Pure numpy, picklable for Spark broadcast.
+    """
+
+    def __init__(self, rows, res: int | None = None, max_cells_per_zone: int = 256):
+        """``rows``: iterable of (zone_id, wkb_bytes)."""
+        self.zone_ids: list[int] = []
+        self.parts: list[list[list[np.ndarray]]] = []  # zone → polygon parts → rings
+        self.bboxes: list[tuple] = []
+        for zid, buf in rows:
+            g = wkb.loads(bytes(buf))
+            parts = list(wkb.polygons_of(g))
+            self.zone_ids.append(int(zid))
+            self.parts.append(parts)
+            self.bboxes.append(kernels.geom_bounds(g))
+        if res is None:
+            res = self._auto_res()
+        self.res = res
+        self.buckets: dict[int, list[int]] = {}
+        res_set: set[int] = set()
+        for i, parts in enumerate(self.parts):
+            zcells, eff = cells.zone_cover(parts, res, max_cells=max_cells_per_zone)
+            res_set.add(int(eff))
+            for c in zcells.tolist():
+                self.buckets.setdefault(c, []).append(i)
+        # distinct covering resolutions (giant zones coarsen) — the probe
+        # looks points up at each level (the "cell-prefix" walk)
+        self.res_levels = sorted(res_set)
+
+    def _auto_res(self) -> int:
+        if not self.bboxes:
+            return 8
+        ext = np.array(
+            [max(b[2] - b[0], b[3] - b[1], 1e-9) for b in self.bboxes]
+        )
+        med = float(np.median(ext))
+        # cell size ≈ median zone extent → a zone covers O(4..9) cells
+        res = int(np.clip(np.floor(np.log2(360.0 / med)), 3, 16))
+        return res
+
+    def query(self, px: np.ndarray, py: np.ndarray, predicate: str = "covers"):
+        """Return (point_idx, zone_id) int64 arrays of all matches."""
+        if predicate not in _PREDICATES:
+            raise ValueError(f"predicate must be one of {_PREDICATES}")
+        refine = (
+            kernels.points_covered_by
+            if predicate == "covers"
+            else kernels.points_contained
+        )
+        n = len(px)
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        out_p: list[np.ndarray] = []
+        out_z: list[np.ndarray] = []
+        for lvl in self.res_levels:
+            pcell = cells.latlon_to_cell(py, px, lvl)
+            order = np.argsort(pcell, kind="stable")
+            sc = pcell[order]
+            uniq, starts = np.unique(sc, return_index=True)
+            bounds = np.append(starts, n)
+            for k, cell in enumerate(uniq.tolist()):
+                zs = self.buckets.get(cell)
+                if not zs:
+                    continue
+                sel = order[bounds[k] : bounds[k + 1]]
+                sx, sy = px[sel], py[sel]
+                for zi in zs:
+                    bx0, by0, bx1, by1 = self.bboxes[zi]
+                    m = (sx >= bx0) & (sx <= bx1) & (sy >= by0) & (sy <= by1)
+                    if not m.any():
+                        continue
+                    cand = sel[m]
+                    hit = np.zeros(len(cand), dtype=bool)
+                    for rings in self.parts[zi]:
+                        hit |= refine(sx[m], sy[m], rings)
+                    if hit.any():
+                        out_p.append(cand[hit])
+                        out_z.append(
+                            np.full(int(hit.sum()), self.zone_ids[zi], np.int64)
+                        )
+        if not out_p:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_p), np.concatenate(out_z)
+
+
+def _point_schema(df: DataFrame, point_cols: list[str]) -> StructType:
+    fields = [f for f in df.schema.fields if f.name in point_cols]
+    return StructType(fields + [StructField("zone_id", LongType(), False)])
+
+
+def pip_join_broadcast(
+    points: DataFrame,
+    zones: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    point_cols: list[str] | None = None,
+    zone_id: str = "zone_id",
+    geometry: str = "geometry",
+    predicate: str = "covers",
+    res: int | None = None,
+) -> DataFrame:
+    """Broadcast PIP join: tiny polygon side, huge point side, no shuffle.
+
+    Returns ``point_cols + [zone_id]``; a point inside k zones yields k
+    rows (overlapping zones allowed, matching the reference's overlay
+    which emits one row per matching pair).
+    """
+    if point_cols is None:
+        point_cols = [c for c in points.columns if c not in (x, y)]
+    spark = points.sparkSession
+    zrows = [(r[zone_id], bytes(r[geometry])) for r in
+             zones.select(zone_id, geometry).collect()]
+    bc = spark.sparkContext.broadcast((zrows, res))
+    schema = _point_schema(points, point_cols)
+    src = points.select(*point_cols, x, y).where(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    )
+
+    def probe(batches):
+        rows, res_ = bc.value
+        idx = ZoneIndex(rows, res=res_)
+        for pdf in batches:
+            px = pdf[x].to_numpy(np.float64)
+            py = pdf[y].to_numpy(np.float64)
+            pi, zi = idx.query(px, py, predicate)
+            out = pdf.iloc[pi][point_cols].reset_index(drop=True)
+            out["zone_id"] = zi
+            yield out
+
+    return src.mapInPandas(probe, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Distributed cell-join path (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def zone_cell_covering(
+    zones: DataFrame,
+    res: int,
+    zone_id: str = "zone_id",
+    geometry: str = "geometry",
+    max_cells: int = 4096,
+) -> DataFrame:
+    """Explode each zone to its covering cells: (cell, zone_id, geometry).
+
+    Runs distributed (mapInPandas) — the polygon side may be huge.
+    """
+    schema = StructType(
+        [StructField("cell", LongType(), False)]
+        + [f for f in zones.schema.fields if f.name in (zone_id, geometry)]
+    )
+
+    def cover(batches):
+        for pdf in batches:
+            cs, zs, gs = [], [], []
+            for zid, buf in zip(pdf[zone_id], pdf[geometry]):
+                g = wkb.loads(bytes(buf))
+                zcells, _eff = cells.zone_cover(
+                    list(wkb.polygons_of(g)), res, max_cells=max_cells
+                )
+                cs.extend(zcells.tolist())
+                zs.extend([zid] * len(zcells))
+                gs.extend([buf] * len(zcells))
+            yield pd.DataFrame({"cell": np.array(cs, np.int64), zone_id: zs,
+                                geometry: gs})
+
+    return zones.select(zone_id, geometry).mapInPandas(cover, schema=schema)
+
+
+def pip_join_cells(
+    points: DataFrame,
+    zones: DataFrame,
+    res: int = 8,
+    x: str = "lon",
+    y: str = "lat",
+    point_cols: list[str] | None = None,
+    zone_id: str = "zone_id",
+    geometry: str = "geometry",
+    predicate: str = "covers",
+    salt: int = 1,
+) -> DataFrame:
+    """Cell-prefix hash join + exact ray-cast refine (both sides large).
+
+    ``salt`` > 1 replicates each zone-cell row ``salt`` ways and spreads
+    points across the replicas on a deterministic hash — the hot-cell
+    (Zipf city) mitigation of the north rule.  Results are invariant to
+    ``salt`` (tested).
+    """
+    if point_cols is None:
+        point_cols = [c for c in points.columns if c not in (x, y)]
+    zc = zone_cell_covering(zones, res, zone_id, geometry)
+    # distinct covering resolutions actually present (giant zones coarsen);
+    # tiny collect on the small aggregated set — drives the prefix walk
+    levels = sorted(
+        r["r"]
+        for r in zc.select(
+            F.shiftright(F.col("cell"), 56).alias("r")
+        ).distinct().collect()
+    )
+    pc = points.where(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        *point_cols, x, y
+    )
+    # each point emits its ancestor cell at every zone res level — the
+    # cell-prefix join (a point has exactly one ancestor per level, so
+    # candidate pairs stay unique)
+    pc = pc.withColumn(
+        "cell", F.explode(_ancestor_cells_udf(levels)(F.col(y), F.col(x)))
+    )
+    if salt > 1:
+        zc = zc.withColumn(
+            "__s", F.explode(F.array([F.lit(i) for i in range(salt)]))
+        )
+        pc = pc.withColumn(
+            "__s", F.pmod(F.xxhash64(*[F.col(c) for c in point_cols]), F.lit(salt))
+        ).withColumn("__s", F.col("__s").cast("int"))
+        joined = pc.join(zc, ["cell", "__s"], "inner").drop("__s")
+    else:
+        joined = pc.join(zc, "cell", "inner")
+
+    schema = _point_schema(points, point_cols)
+    refine = (
+        kernels.points_covered_by
+        if predicate == "covers"
+        else kernels.points_contained
+    )
+
+    def exact(batches):
+        cache: dict[bytes, list] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            px = pdf[x].to_numpy(np.float64)
+            py = pdf[y].to_numpy(np.float64)
+            hit = np.zeros(len(pdf), dtype=bool)
+            # group candidate rows by zone geometry (few zones per batch)
+            codes, uniq = pd.factorize(pdf[geometry], use_na_sentinel=False)
+            for gi, buf in enumerate(uniq):
+                key = bytes(buf)
+                parts = cache.get(key)
+                if parts is None:
+                    parts = list(wkb.polygons_of(wkb.loads(key)))
+                    cache[key] = parts
+                m = codes == gi
+                sub = np.zeros(int(m.sum()), dtype=bool)
+                for rings in parts:
+                    sub |= refine(px[m], py[m], rings)
+                hit[m] = sub
+            out = pdf.loc[hit, point_cols + [zone_id]].reset_index(drop=True)
+            out = out.rename(columns={zone_id: "zone_id"})
+            yield out
+
+    return joined.mapInPandas(exact, schema=schema)
+
+
+def _cell_encode_udf(res: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
+            cells.latlon_to_cell(lat.to_numpy(np.float64), lon.to_numpy(np.float64), res)
+        )
+
+    return enc
+
+
+def _ancestor_cells_udf(levels: list[int]):
+    """UDF: per point, its cell id at each res in ``levels``."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        cols = [cells.latlon_to_cell(la, lo, r) for r in levels]
+        stacked = np.column_stack(cols) if cols else np.empty((len(la), 0), np.int64)
+        return pd.Series(list(stacked))
+
+    return enc
+
+
+def cell_encode(df: DataFrame, res: int, y: str = "lat", x: str = "lon",
+                out: str = "cell") -> DataFrame:
+    """Attach the res-``res`` cell id column (Arrow-batched UDF)."""
+    return df.withColumn(out, _cell_encode_udf(res)(F.col(y), F.col(x)))

@@ -1,0 +1,491 @@
+"""Driver-contract queries: each ``queries()`` entry has a matching
+``oracle_sql()`` ANSI-SQL string that DuckDB runs over the same parquet
+tables (/root/testdata/sf*/ — views: region nation customer supplier
+part orders lineitem events documents embeddings).
+
+Design notes
+------------
+The driver's tables carry no geometry, so the spatial queries *derive*
+deterministic points from integer key columns with arithmetic that is
+bit-exact in both engines (integer mul/mod, then one double divide).
+The oracle then re-expresses the engine's spatial kernels in pure SQL:
+
+- Z-order cell encoding  → Morton bit-interleave via shift/mask CTEs;
+- point-in-polygon       → per-zone convex half-plane sign tests with
+  the zone vertices inlined as literals (every synthetic zone ring is
+  convex — hulls and boxes — so the SQL predicate is exact);
+- kNN                    → CROSS JOIN + row_number ORDER BY (dist, id).
+
+Float discipline (driver hashes values): per-row double arithmetic is
+IEEE-identical across engines; the only nondeterminism is *aggregation
+order* of double sums, removed by summing exact DECIMAL(18,2..6) and
+casting the final sum to DOUBLE on both sides.
+
+Reference parity: the PIP/overlay semantics match SpaPy's nested-loop
+overlay (/root/reference/SpaVectors.py:939-983) — one output row per
+(point, containing-zone) pair, boundary-inclusive (GEOS covers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .geometry import wkb
+from .geometry.kernels import ring_signed_area
+from .operators import geocode, knn, pip
+from .sources import synth
+
+# ---------------------------------------------------------------------------
+# Shared derived-point table (orders keys → deterministic lat/lon)
+# ---------------------------------------------------------------------------
+
+# lat in [-75, 75), lon in [-180, 180), both exact multiples of 1e-4
+# computed with integer arithmetic that DuckDB reproduces bit-for-bit.
+PTS_SQL = (
+    "SELECT o_orderkey AS point_id,"
+    " ((o_orderkey * 9973) % 1500000) / 10000.0 - 75.0 AS lat,"
+    " ((o_orderkey * 7919) % 3600000) / 10000.0 - 180.0 AS lon"
+    " FROM orders"
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .deploy import ship_package
+
+    ship_package(spark)  # executors must import spapy_spark (UDF kernels)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("point_id"),
+        (((k * 9973) % 1500000) / 10000.0 - 75.0).alias("lat"),
+        (((k * 7919) % 3600000) / 10000.0 - 180.0).alias("lon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL generators (Morton spread, convex PIP)
+# ---------------------------------------------------------------------------
+
+_RES = 8  # tiling resolution used by the harness queries
+
+_SPREAD_STEPS = [  # (shift, mask) — low-byte subset of cells._part1by1
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _morton_cte(pts_sql: str, res: int = _RES) -> str:
+    """CTE chain computing the engine's Z-order cell id in pure SQL.
+
+    Matches cells.latlon_to_cell exactly: quantize (floor + clip), bit
+    -spread ix/iy with the magic-mask chain, OR with the res header.
+    ``res`` must be ≤ 8 here (8-bit spread steps suffice).
+    """
+    if res > 8:
+        raise ValueError("SQL morton helper supports res <= 8")
+    n = 1 << res
+    head = res << 56
+    sx = "ix"
+    sy = "iy"
+    steps_sql = []
+    for i, (shift, mask) in enumerate(_SPREAD_STEPS):
+        steps_sql.append(
+            f"s{i} AS (SELECT point_id,"
+            f" ({sx} | ({sx} << {shift})) & {mask} AS ix,"
+            f" ({sy} | ({sy} << {shift})) & {mask} AS iy FROM "
+            f"{'q1' if i == 0 else 's' + str(i - 1)})"
+        )
+    return (
+        f"WITH pts AS ({pts_sql}),"
+        f" q0 AS (SELECT point_id,"
+        f" CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS BIGINT) AS ix0,"
+        f" CAST(floor((lat + 90.0) / 180.0 * {n}.0) AS BIGINT) AS iy0"
+        f" FROM pts),"
+        f" q1 AS (SELECT point_id,"
+        f" LEAST(GREATEST(ix0, 0), {n - 1}) AS ix,"
+        f" LEAST(GREATEST(iy0, 0), {n - 1}) AS iy FROM q0),"
+        f" {', '.join(steps_sql)},"
+        f" enc AS (SELECT point_id,"
+        f" ({head} | ix | (iy << 1)) AS cell FROM s{len(_SPREAD_STEPS) - 1})"
+    )
+
+
+def _ring_pred_sql(ring, inclusive: bool, px: str = "lon", py: str = "lat") -> str:
+    """Half-plane conjunction for one *convex* ring (CCW-normalized)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if ring_signed_area(r) < 0:
+        r = r[::-1]
+    op = ">=" if inclusive else ">"
+    conds = []
+    for i in range(len(r) - 1):
+        x1, y1 = float(r[i][0]), float(r[i][1])
+        ex, ey = float(r[i + 1][0] - r[i][0]), float(r[i + 1][1] - r[i][1])
+        conds.append(
+            f"({ex!r} * ({py} - {y1!r}) - {ey!r} * ({px} - {x1!r})) {op} 0"
+        )
+    return "(" + " AND ".join(conds) + ")"
+
+
+def _zone_pred_sql(geom: dict) -> str:
+    """covers-predicate for a (Multi)Polygon whose rings are all convex."""
+    parts = []
+    for rings in wkb.polygons_of(geom):
+        p = _ring_pred_sql(rings[0], inclusive=True)
+        for hole in rings[1:]:
+            p += " AND NOT " + _ring_pred_sql(hole, inclusive=False)
+        parts.append("(" + p + ")")
+    return "(" + " OR ".join(parts) + ")"
+
+
+def _pip_oracle_sql() -> str:
+    zones_pdf = synth.zones_pdf()
+    selects = []
+    for zid, buf in zip(zones_pdf["zone_id"], zones_pdf["geometry"]):
+        pred = _zone_pred_sql(wkb.loads(bytes(buf)))
+        selects.append(
+            f"SELECT point_id, CAST({int(zid)} AS BIGINT) AS zone_id"
+            f" FROM pts WHERE {pred}"
+        )
+    union = " UNION ALL ".join(selects)
+    return (
+        f"WITH pts AS ({PTS_SQL}) SELECT point_id, zone_id FROM ({union})"
+        " ORDER BY point_id, zone_id"
+    )
+
+
+_KNN_SITES_N = 64
+_KNN_K = 3
+
+
+def _knn_sites_values() -> str:
+    rows = synth._site_rows(_KNN_SITES_N)
+    vals = ", ".join(f"({r[0]}, {r[2]!r}, {r[3]!r})" for r in rows)
+    return f"(VALUES {vals}) AS s(site_id, x, y)"
+
+
+def _knn_oracle_sql() -> str:
+    return (
+        f"WITH pts AS ({PTS_SQL}), sites AS (SELECT * FROM {_knn_sites_values()}),"
+        " d AS (SELECT p.point_id, s.site_id,"
+        " sqrt((p.lon - s.x) * (p.lon - s.x) + (p.lat - s.y) * (p.lat - s.y))"
+        " AS dist,"
+        " row_number() OVER (PARTITION BY p.point_id ORDER BY"
+        " ((p.lon - s.x) * (p.lon - s.x) + (p.lat - s.y) * (p.lat - s.y)),"
+        " s.site_id) AS rnk"
+        " FROM pts p CROSS JOIN sites s)"
+        f" SELECT point_id, site_id, CAST(rnk AS BIGINT) AS rank, dist"
+        f" FROM d WHERE rnk <= {_KNN_K} ORDER BY point_id, rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_pip_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship PIP: derived points vs the 209 synthetic zones."""
+    pts = derived_points(spark, sf_dir)
+    zones = synth.zones(spark)
+    out = pip.pip_join_broadcast(
+        pts, zones, x="lon", y="lat", point_cols=["point_id"], predicate="covers"
+    )
+    return out.select("point_id", "zone_id").orderBy("point_id", "zone_id")
+
+
+def q_tiling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment: Z-order cell per point, docs-per-tile counts."""
+    pts = derived_points(spark, sf_dir)
+    enc = pip.cell_encode(pts, _RES, y="lat", x="lon")
+    return (
+        enc.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cell")
+    )
+
+
+def q_geocode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex geocoder on synthesized coordinate mentions (full text path)."""
+    pts = derived_points(spark, sf_dir)
+    mention = F.concat(
+        F.format_string("%.4f", F.abs(F.col("lat"))),
+        F.lit("°"),
+        F.when(F.col("lat") >= 0, "N").otherwise("S"),
+        F.lit(" "),
+        F.format_string("%.4f", F.abs(F.col("lon"))),
+        F.lit("°"),
+        F.when(F.col("lon") >= 0, "E").otherwise("W"),
+    )
+    doc = pts.select(
+        "point_id", F.concat(F.lit("seen near "), mention, F.lit(" today")).alias("text")
+    )
+    geo = geocode.geocode_coords(doc, text_col="text")
+    return geo.select(
+        "point_id",
+        F.col("lat").alias("geo_lat"),
+        F.col("lon").alias("geo_lon"),
+    ).orderBy("point_id")
+
+
+def q_knn_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 nearest synthetic sites per derived point (broadcast kNN)."""
+    pts = derived_points(spark, sf_dir)
+    sites = synth.sites(spark, _KNN_SITES_N)
+    out = knn.knn_join_broadcast(
+        pts, sites, k=_KNN_K, x="lon", y="lat", point_cols=["point_id"]
+    )
+    return out.select("point_id", "site_id", "rank", "dist").orderBy(
+        "point_id", "rank"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: md5 fingerprint groups with representative id."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .orderBy("h")
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword-based quality/language scoring.
+
+    Pure built-in Spark SQL (JVM-side, no Python) — explode tokens,
+    integer aggregates only (zero FP-order risk).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    stop_list = ",".join(f"'{w}'" for w in _STOPWORDS)
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.expr(f"CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END")).alias(
+            "n_stop"
+        ),
+        F.sum(F.length("tok")).alias("n_chars_tok"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_stop",
+        "n_chars_tok",
+        F.when((F.col("n_stop") * 20) >= F.col("n_tokens"), "en")
+        .otherwise("other")
+        .alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).orderBy("lang")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate (decimal-exact sums, cast to double)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+def q_events_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-user event ordinal (deterministic ties)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).cast("long").alias("seq"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL strings
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    return {
+        "pip_zones": q_pip_zones,
+        "tiling_counts": q_tiling_counts,
+        "geocode_roundtrip": q_geocode_roundtrip,
+        "knn_sites": q_knn_sites,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_counts": q_lang_counts,
+        "tpch_q1": q_tpch_q1,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "events_sequence": q_events_sequence,
+    }
+
+
+def build_oracle_sql() -> dict:
+    stop_list = ",".join(f"'{w}'" for w in _STOPWORDS)
+    return {
+        "pip_zones": _pip_oracle_sql(),
+        "tiling_counts": (
+            _morton_cte(PTS_SQL)
+            + " SELECT cell, CAST(count(*) AS BIGINT) AS n FROM enc"
+            " GROUP BY cell ORDER BY cell"
+        ),
+        "geocode_roundtrip": (
+            f"WITH pts AS ({PTS_SQL}),"
+            " doc AS (SELECT point_id,"
+            " 'seen near ' || printf('%.4f', abs(lat)) || '°' ||"
+            " (CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END) || ' ' ||"
+            " printf('%.4f', abs(lon)) || '°' ||"
+            " (CASE WHEN lon >= 0 THEN 'E' ELSE 'W' END) || ' today' AS text"
+            " FROM pts)"
+            " SELECT point_id,"
+            " CAST(regexp_extract(text,"
+            " '(\\d+\\.\\d{4})°([NS]) (\\d+\\.\\d{4})°([EW])', 1)"
+            " AS DOUBLE) * (CASE WHEN regexp_extract(text,"
+            " '(\\d+\\.\\d{4})°([NS]) (\\d+\\.\\d{4})°([EW])', 2)"
+            " = 'S' THEN -1 ELSE 1 END) AS geo_lat,"
+            " CAST(regexp_extract(text,"
+            " '(\\d+\\.\\d{4})°([NS]) (\\d+\\.\\d{4})°([EW])', 3)"
+            " AS DOUBLE) * (CASE WHEN regexp_extract(text,"
+            " '(\\d+\\.\\d{4})°([NS]) (\\d+\\.\\d{4})°([EW])', 4)"
+            " = 'W' THEN -1 ELSE 1 END) AS geo_lon"
+            " FROM doc ORDER BY point_id"
+        ),
+        "knn_sites": _knn_oracle_sql(),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_dups,"
+            " MIN(doc_id) AS rep_doc_id FROM documents GROUP BY md5(text)"
+            " ORDER BY h"
+        ),
+        "text_stats": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+            " FROM documents),"
+            " agg AS (SELECT doc_id,"
+            " CAST(count(*) AS BIGINT) AS n_tokens,"
+            " CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,"
+            f" CAST(sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_stop,"
+            " CAST(sum(length(tok)) AS BIGINT) AS n_chars_tok"
+            " FROM toks GROUP BY doc_id)"
+            " SELECT doc_id, n_tokens, n_distinct, n_stop, n_chars_tok,"
+            " CASE WHEN n_stop * 20 >= n_tokens THEN 'en' ELSE 'other' END"
+            " AS lang_guess FROM agg ORDER BY doc_id"
+        ),
+        "lang_counts": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents"
+            " GROUP BY lang ORDER BY lang"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            " AS sum_base_price,"
+            " CAST(count(*) AS BIGINT) AS count_order"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+            " ORDER BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "SELECT c_custkey, c_name,"
+            " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            " AS total_spend,"
+            " CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_custkey, c_name"
+            " ORDER BY total_spend DESC, c_custkey LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value"
+            " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+            " ORDER BY event_type, hour"
+        ),
+        "events_sequence": (
+            "SELECT event_id, user_id,"
+            " CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " AS BIGINT) AS seq"
+            " FROM events ORDER BY event_id"
+        ),
+    }
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """North-rule flagship for ``entry``: geocode→PIP→tile counts."""
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    pts = docs.select(
+        k.alias("point_id"),
+        (((k * 9973) % 1500000) / 10000.0 - 75.0).alias("lat"),
+        (((k * 7919) % 3600000) / 10000.0 - 180.0).alias("lon"),
+    )
+    zones = synth.zones(spark)
+    hits = pip.pip_join_broadcast(
+        pts, zones, x="lon", y="lat", point_cols=["point_id"]
+    )
+    return (
+        hits.groupBy("zone_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("zone_id")
+    )

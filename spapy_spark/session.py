@@ -55,6 +55,11 @@ def get_spark(
         b = b.config(k, v)
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     b = b.config("spark.ui.enabled", "false")
+    b = b.config("spark.ui.showConsoleProgress", "false")
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    from .deploy import ship_package
+
+    ship_package(spark)  # executors import spapy_spark via the pyfiles zip
+    return spark

@@ -489,6 +489,51 @@ def rects_intersect_ring(
     return hit
 
 
+def _edges_cross_rects(
+    lo_x: np.ndarray, lo_y: np.ndarray, hi_x: np.ndarray, hi_y: np.ndarray,
+    ring: np.ndarray,
+) -> np.ndarray:
+    """True per rect when any ring edge intersects the rect (Liang–
+    Barsky span test, broadcast M rects × E edges)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    ax, ay = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    dx = ring[1:, 0][None, :] - ax
+    dy = ring[1:, 1][None, :] - ay
+    lx, ly = lo_x[:, None], lo_y[:, None]
+    hx, hy = hi_x[:, None], hi_y[:, None]
+    t0 = np.zeros((len(lo_x), ring.shape[0] - 1))
+    t1 = np.ones_like(t0)
+    for p, q in ((-dx, ax - lx), (dx, hx - ax), (-dy, ay - ly), (dy, hy - ay)):
+        r = np.where(p != 0, q / np.where(p == 0, 1.0, p), np.inf)
+        t0 = np.maximum(t0, np.where(p < 0, r, -np.inf))
+        t1 = np.minimum(t1, np.where(p > 0, r, np.inf))
+        t0 = np.where((p == 0) & (q < 0), np.inf, t0)
+    return (t0 <= t1).any(axis=1)
+
+
+def rects_fully_inside_ring(
+    lo_x, lo_y, hi_x, hi_y, ring: np.ndarray
+) -> np.ndarray:
+    """True per rect when the whole axis-aligned rect lies inside the
+    ring's polygon: all 4 corners inside AND no ring edge crosses the
+    rect.  Exact for arbitrary simple rings (not just convex)."""
+    lo_x = np.asarray(lo_x, dtype=np.float64)
+    lo_y = np.asarray(lo_y, dtype=np.float64)
+    hi_x = np.asarray(hi_x, dtype=np.float64)
+    hi_y = np.asarray(hi_y, dtype=np.float64)
+    inside = np.ones(len(lo_x), dtype=bool)
+    for cx, cy in ((lo_x, lo_y), (hi_x, lo_y), (lo_x, hi_y), (hi_x, hi_y)):
+        inside &= points_in_ring(cx, cy, ring)
+    todo = inside.copy()
+    if todo.any():
+        idx = np.nonzero(todo)[0]
+        cross = _edges_cross_rects(
+            lo_x[idx], lo_y[idx], hi_x[idx], hi_y[idx], np.asarray(ring)
+        )
+        inside[idx] &= ~cross
+    return inside
+
+
 # ---------------------------------------------------------------------------
 # Buffers (n-gon approximations; exact distance joins never build these)
 # ---------------------------------------------------------------------------

@@ -58,16 +58,51 @@ class ZoneIndex:
         if res is None:
             res = self._auto_res()
         self.res = res
-        self.buckets: dict[int, list[int]] = {}
-        res_set: set[int] = set()
+        # flat (cell, zone, full) bucket table per level, sorted by cell —
+        # probe is one np.searchsorted per level, no dict lookups.
+        # ``full`` marks cells whose square is entirely inside the zone
+        # (all 4 corners covered, holes excluded): their candidate points
+        # skip the exact refine altogether.
+        by_level: dict[int, list[tuple[int, int, bool]]] = {}
         for i, parts in enumerate(self.parts):
             zcells, eff = cells.zone_cover(parts, res, max_cells=max_cells_per_zone)
-            res_set.add(int(eff))
-            for c in zcells.tolist():
-                self.buckets.setdefault(c, []).append(i)
-        # distinct covering resolutions (giant zones coarsen) — the probe
-        # looks points up at each level (the "cell-prefix" walk)
-        self.res_levels = sorted(res_set)
+            if len(zcells) == 0:
+                continue
+            full = self._full_cells(zcells, parts)
+            lev = by_level.setdefault(int(eff), [])
+            for c, fl in zip(zcells.tolist(), full.tolist()):
+                lev.append((c, i, fl))
+        self.levels: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+        for lev in sorted(by_level):
+            ent = by_level[lev]
+            bc = np.array([e[0] for e in ent], dtype=np.int64)
+            bz = np.array([e[1] for e in ent], dtype=np.int64)
+            bf = np.array([e[2] for e in ent], dtype=bool)
+            o = np.argsort(bc, kind="stable")
+            self.levels.append((lev, bc[o], bz[o], bf[o]))
+        self.res_levels = [l[0] for l in self.levels]
+
+    def _full_cells(self, zcells: np.ndarray, parts) -> np.ndarray:
+        """Per covering cell: is the whole cell square inside the zone?
+
+        Exact for arbitrary simple rings (corner-in + no-edge-crossing);
+        holes void fullness conservatively on bbox overlap.
+        """
+        lo_x, lo_y, hi_x, hi_y = cells.cell_bounds(zcells)
+        full = np.zeros(len(zcells), dtype=bool)
+        for rings in parts:
+            inside = kernels.rects_fully_inside_ring(
+                lo_x, lo_y, hi_x, hi_y, rings[0]
+            )
+            for h in rings[1:]:
+                hx0, hy0 = np.asarray(h).min(axis=0)
+                hx1, hy1 = np.asarray(h).max(axis=0)
+                overlap = (lo_x <= hx1) & (hi_x >= hx0) & (lo_y <= hy1) & (
+                    hi_y >= hy0
+                )
+                inside &= ~overlap
+            full |= inside
+        return full
 
     def _auto_res(self) -> int:
         if not self.bboxes:
@@ -81,48 +116,87 @@ class ZoneIndex:
         return res
 
     def query(self, px: np.ndarray, py: np.ndarray, predicate: str = "covers"):
-        """Return (point_idx, zone_id) int64 arrays of all matches."""
+        """Return (point_idx, zone_id) int64 arrays of all matches.
+
+        Zone-grouped probe: per level, sort points by cell once, locate
+        each bucket entry's point span with two ``searchsorted`` calls,
+        then refine per *zone* with one vectorized kernel call.  Cells
+        flagged full-interior skip the refine entirely.
+        """
         if predicate not in _PREDICATES:
             raise ValueError(f"predicate must be one of {_PREDICATES}")
-        refine = (
-            kernels.points_covered_by
-            if predicate == "covers"
-            else kernels.points_contained
-        )
         n = len(px)
         if n == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         out_p: list[np.ndarray] = []
         out_z: list[np.ndarray] = []
-        for lvl in self.res_levels:
+        zone_ids = np.array(self.zone_ids, dtype=np.int64)
+        for lvl, bcell, bzone, bfull in self.levels:
             pcell = cells.latlon_to_cell(py, px, lvl)
             order = np.argsort(pcell, kind="stable")
             sc = pcell[order]
-            uniq, starts = np.unique(sc, return_index=True)
-            bounds = np.append(starts, n)
-            for k, cell in enumerate(uniq.tolist()):
-                zs = self.buckets.get(cell)
-                if not zs:
-                    continue
-                sel = order[bounds[k] : bounds[k + 1]]
-                sx, sy = px[sel], py[sel]
-                for zi in zs:
-                    bx0, by0, bx1, by1 = self.bboxes[zi]
-                    m = (sx >= bx0) & (sx <= bx1) & (sy >= by0) & (sy <= by1)
-                    if not m.any():
-                        continue
-                    cand = sel[m]
-                    hit = np.zeros(len(cand), dtype=bool)
-                    for rings in self.parts[zi]:
-                        hit |= refine(sx[m], sy[m], rings)
-                    if hit.any():
-                        out_p.append(cand[hit])
-                        out_z.append(
-                            np.full(int(hit.sum()), self.zone_ids[zi], np.int64)
-                        )
+            lo = np.searchsorted(sc, bcell, side="left")
+            hi = np.searchsorted(sc, bcell, side="right")
+            nz = hi > lo
+            if not nz.any():
+                continue
+            lo, hi, bz, bf = lo[nz], hi[nz], bzone[nz], bfull[nz]
+            # full-interior cells: every point in the span is a hit
+            if bf.any():
+                spans = [order[l:h] for l, h in zip(lo[bf], hi[bf])]
+                zrep = np.repeat(zone_ids[bz[bf]], hi[bf] - lo[bf])
+                out_p.append(np.concatenate(spans))
+                out_z.append(zrep)
+            # boundary cells: group spans by zone, one refine per zone
+            eb = ~bf
+            if not eb.any():
+                continue
+            lo_e, hi_e, bz_e = lo[eb], hi[eb], bz[eb]
+            zorder = np.argsort(bz_e, kind="stable")
+            bz_s = bz_e[zorder]
+            zuniq, zstart = np.unique(bz_s, return_index=True)
+            zbound = np.append(zstart, len(bz_s))
+            for zi_pos, zi in enumerate(zuniq.tolist()):
+                ent = zorder[zbound[zi_pos] : zbound[zi_pos + 1]]
+                cand = np.concatenate(
+                    [order[l:h] for l, h in zip(lo_e[ent], hi_e[ent])]
+                )
+                cx, cy = px[cand], py[cand]
+                hit = np.zeros(len(cand), dtype=bool)
+                for rings in self.parts[zi]:
+                    hit |= self._refine(cx, cy, rings, predicate)
+                if hit.any():
+                    out_p.append(cand[hit])
+                    out_z.append(np.full(int(hit.sum()), zone_ids[zi], np.int64))
         if not out_p:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(out_p), np.concatenate(out_z)
+
+    @staticmethod
+    def _refine(cx, cy, rings, predicate: str) -> np.ndarray:
+        """Exact PIP with the boundary-eps pass only where it can matter:
+        ``covers`` adds the eps-boundary only for ray-cast misses,
+        ``contains`` subtracts it only for ray-cast hits — halves the
+        (N×E) distance work on the hot path."""
+        inside = kernels.points_in_rings(cx, cy, rings)
+        if predicate == "covers":
+            miss = ~inside
+            if miss.any():
+                bx, by = cx[miss], cy[miss]
+                onb = np.zeros(len(bx), dtype=bool)
+                for r in rings:
+                    onb |= kernels.points_on_ring_boundary(bx, by, r, 1e-12)
+                inside[miss] = onb
+            return inside
+        if inside.any():
+            bx, by = cx[inside], cy[inside]
+            onb = np.zeros(len(bx), dtype=bool)
+            for r in rings:
+                onb |= kernels.points_on_ring_boundary(bx, by, r, 1e-12)
+            keep = inside.copy()
+            keep[inside] = ~onb
+            return keep
+        return inside
 
 
 def _point_schema(df: DataFrame, point_cols: list[str]) -> StructType:

@@ -489,6 +489,80 @@ def rects_intersect_ring(
     return hit
 
 
+# ---------------------------------------------------------------------------
+# Segment × segment intersection (vectorized E1×E2 orientation tests)
+# ---------------------------------------------------------------------------
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    """Signed orientation of c vs directed segment a→b (broadcastable)."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_intersect_matrix(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    """(E1, E2) bool matrix: does edge i of polyline ``c1`` intersect
+    edge j of ``c2`` (touching counts)?  Standard orientation test with
+    collinear-overlap handling."""
+    c1 = np.asarray(c1, dtype=np.float64)
+    c2 = np.asarray(c2, dtype=np.float64)
+    ax, ay = c1[:-1, 0][:, None], c1[:-1, 1][:, None]
+    bx, by = c1[1:, 0][:, None], c1[1:, 1][:, None]
+    cx, cy = c2[:-1, 0][None, :], c2[:-1, 1][None, :]
+    dx, dy = c2[1:, 0][None, :], c2[1:, 1][None, :]
+    d1 = _orient(ax, ay, bx, by, cx, cy)
+    d2 = _orient(ax, ay, bx, by, dx, dy)
+    d3 = _orient(cx, cy, dx, dy, ax, ay)
+    d4 = _orient(cx, cy, dx, dy, bx, by)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (
+        (d1 != 0) | (d2 != 0)
+    ) & ((d3 != 0) | (d4 != 0))
+    # collinear / endpoint-touch cases: zero orientation + bbox overlap
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (
+            (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx))
+            & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(ax, ay, bx, by, cx, cy))
+        | ((d2 == 0) & on_seg(ax, ay, bx, by, dx, dy))
+        | ((d3 == 0) & on_seg(cx, cy, dx, dy, ax, ay))
+        | ((d4 == 0) & on_seg(cx, cy, dx, dy, bx, by))
+    )
+    return proper | touch
+
+
+def segments_proper_cross_any(c1: np.ndarray, c2: np.ndarray) -> bool:
+    """True when any edge pair crosses *properly* (interiors of the
+    segments intersect at a single point — excludes endpoint touches)."""
+    c1 = np.asarray(c1, dtype=np.float64)
+    c2 = np.asarray(c2, dtype=np.float64)
+    ax, ay = c1[:-1, 0][:, None], c1[:-1, 1][:, None]
+    bx, by = c1[1:, 0][:, None], c1[1:, 1][:, None]
+    cx, cy = c2[:-1, 0][None, :], c2[:-1, 1][None, :]
+    dx, dy = c2[1:, 0][None, :], c2[1:, 1][None, :]
+    d1 = _orient(ax, ay, bx, by, cx, cy)
+    d2 = _orient(ax, ay, bx, by, dx, dy)
+    d3 = _orient(cx, cy, dx, dy, ax, ay)
+    d4 = _orient(cx, cy, dx, dy, bx, by)
+    return bool(
+        (((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+         & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))).any()
+    )
+
+
+def rings_intersect(r1: np.ndarray, r2: np.ndarray) -> bool:
+    """Polygon-ring × polygon-ring 'intersects' (shared point counts):
+    any edge intersection, or one ring inside the other."""
+    if segments_intersect_matrix(r1, r2).any():
+        return True
+    if points_in_ring(r2[:1, 0], r2[:1, 1], r1)[0]:
+        return True
+    if points_in_ring(r1[:1, 0], r1[:1, 1], r2)[0]:
+        return True
+    return False
+
+
 def _edges_cross_rects(
     lo_x: np.ndarray, lo_y: np.ndarray, hi_x: np.ndarray, hi_y: np.ndarray,
     ring: np.ndarray,

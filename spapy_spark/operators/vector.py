@@ -1,0 +1,358 @@
+"""Vector layer operators — the SpaPy per-feature surface, Spark-first.
+
+Reference: attribute selects (/root/reference/SpaVectors.py:442-529),
+subset (:531), add/delete attribute (:393,551), split features (:591),
+feature info (:690-749), layer bounds (:754), buffer (:790), simplify
+(:820), convex hull (:848), centroid (:871), densify
+(/root/reference/SpaDensify.py:150), clip (/root/reference/
+SpaVectors.py:1501).
+
+Design: attribute ops are plain Catalyst (filter/withColumn/drop —
+pushdown + pruning for free).  Geometry ops decode WKB inside Arrow-
+batched ``mapInPandas``; the per-feature loop touches numpy ring
+arrays only (rings are small; the feature axis is the batch).  Every
+geometry op preserves all non-geometry columns, mirroring the
+reference's attribute-carry.
+
+Type promotion matches the reference: Polygon→MultiPolygon and
+LineString→MultiLineString on ops that can split/merge parts
+(/root/reference/SpaVectors.py:308-309,659-663) via wkb.promote_multi.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geometry import kernels, wkb
+
+# ---------------------------------------------------------------------------
+# Attribute ops (pure Catalyst; documented for parity)
+# ---------------------------------------------------------------------------
+
+
+def select_equal(df: DataFrame, name: str, value) -> DataFrame:
+    """SpaPy SelectEqual+SubsetBySelection fused (lazy filter —
+    /root/reference/SpaVectors.py:442,531)."""
+    return df.filter(F.col(name) == F.lit(value))
+
+
+def select_greater(df: DataFrame, name: str, value) -> DataFrame:
+    return df.filter(F.col(name) > F.lit(value))
+
+
+def select_greater_or_equal(df: DataFrame, name: str, value) -> DataFrame:
+    return df.filter(F.col(name) >= F.lit(value))
+
+
+def select_less(df: DataFrame, name: str, value) -> DataFrame:
+    return df.filter(F.col(name) < F.lit(value))
+
+
+def select_less_or_equal(df: DataFrame, name: str, value) -> DataFrame:
+    return df.filter(F.col(name) <= F.lit(value))
+
+
+def add_attribute(df: DataFrame, name: str, default=None) -> DataFrame:
+    """AddAttribute with default backfill (/root/reference/SpaVectors.py:393)."""
+    return df.withColumn(name, F.lit(default))
+
+
+def delete_attribute(df: DataFrame, name: str) -> DataFrame:
+    return df.drop(name)
+
+
+# ---------------------------------------------------------------------------
+# Geometry map ops (WKB → WKB pandas-batch transforms)
+# ---------------------------------------------------------------------------
+
+
+def _geom_map(df: DataFrame, fn, geometry: str = "geometry") -> DataFrame:
+    """Apply ``fn(geom_dict) -> geom_dict | None`` per feature; None
+    results are dropped (reference drops empty/error features,
+    /root/reference/SpaVectors.py:808-812,959)."""
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out_geoms = []
+            keep = np.ones(len(pdf), dtype=bool)
+            for i, buf in enumerate(pdf[geometry]):
+                try:
+                    g = fn(wkb.loads(bytes(buf)))
+                except Exception:
+                    g = None
+                if g is None:
+                    keep[i] = False
+                    out_geoms.append(None)
+                else:
+                    out_geoms.append(wkb.dumps(g))
+            res = pdf.copy()
+            res[geometry] = out_geoms
+            yield res[keep]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def buffer(df: DataFrame, amount: float, geometry: str = "geometry",
+           quad_segs: int = 16) -> DataFrame:
+    """Buffer points/polygons by ``amount``; output promoted to
+    MultiPolygon (/root/reference/SpaVectors.py:790-818,801).
+
+    Point buffers are exact n-gon fans (matching GEOS's quad-segment
+    fan); polygon buffers use vertex fans + edge offsets merged via
+    their convex hull — exact for convex inputs, conservative-hull for
+    concave (documented divergence; the reference delegates to GEOS).
+    """
+
+    def op(g):
+        t = g["type"]
+        if t == "Point":
+            ring = kernels.point_buffer_ring(
+                float(g["coordinates"][0]), float(g["coordinates"][1]),
+                amount, quad_segs,
+            )
+            return wkb.promote_multi({"type": "Polygon", "coordinates": [ring]})
+        if t in ("Polygon", "MultiPolygon"):
+            pts = []
+            for rings in wkb.polygons_of(g):
+                ext = np.asarray(rings[0])
+                for x, y in ext[:-1]:
+                    pts.append(
+                        kernels.point_buffer_ring(x, y, amount, quad_segs)[:-1]
+                    )
+            hull = kernels.convex_hull(np.vstack(pts))
+            return wkb.promote_multi({"type": "Polygon", "coordinates": [hull]})
+        return None
+
+    return _geom_map(df, op, geometry)
+
+
+def simplify(df: DataFrame, tolerance: float, geometry: str = "geometry") -> DataFrame:
+    """Douglas-Peucker per ring (/root/reference/SpaVectors.py:820-846)."""
+
+    def op(g):
+        t = g["type"]
+        if t == "LineString":
+            return {"type": t, "coordinates": kernels.simplify_dp(
+                g["coordinates"], tolerance)}
+        if t == "MultiLineString":
+            return {"type": t, "coordinates": [
+                kernels.simplify_dp(c, tolerance) for c in g["coordinates"]]}
+        if t == "Polygon":
+            return {"type": t, "coordinates": [
+                kernels.simplify_dp(r, tolerance) for r in g["coordinates"]]}
+        if t == "MultiPolygon":
+            return {"type": t, "coordinates": [[
+                kernels.simplify_dp(r, tolerance) for r in p]
+                for p in g["coordinates"]]}
+        return g
+
+    return _geom_map(df, op, geometry)
+
+
+def densify(df: DataFrame, max_distance: float, geometry: str = "geometry") -> DataFrame:
+    """Equal-subdivision densify (/root/reference/SpaDensify.py:41-147)."""
+
+    def op(g):
+        t = g["type"]
+        if t == "LineString":
+            return {"type": t, "coordinates": kernels.segmentize(
+                g["coordinates"], max_distance)}
+        if t == "MultiLineString":
+            return {"type": t, "coordinates": [
+                kernels.segmentize(c, max_distance) for c in g["coordinates"]]}
+        if t == "Polygon":
+            return {"type": t, "coordinates": [
+                kernels.segmentize(r, max_distance) for r in g["coordinates"]]}
+        if t == "MultiPolygon":
+            return {"type": t, "coordinates": [[
+                kernels.segmentize(r, max_distance) for r in p]
+                for p in g["coordinates"]]}
+        return g
+
+    return _geom_map(df, op, geometry)
+
+
+def convex_hull(df: DataFrame, geometry: str = "geometry") -> DataFrame:
+    """Per-feature hull (/root/reference/SpaVectors.py:848-869)."""
+
+    def op(g):
+        allc = np.vstack(kernels._leaf_arrays(g))
+        hull = kernels.convex_hull(allc)
+        if len(hull) < 4:  # degenerate (point/segment input)
+            return g
+        return {"type": "Polygon", "coordinates": [hull]}
+
+    return _geom_map(df, op, geometry)
+
+
+def centroid(df: DataFrame, geometry: str = "geometry") -> DataFrame:
+    """Per-feature centroid → Point layer
+    (/root/reference/SpaVectors.py:871-895)."""
+
+    def op(g):
+        cx, cy = kernels.geom_centroid(g)
+        return wkb.point(cx, cy)
+
+    return _geom_map(df, op, geometry)
+
+
+def clip_bbox(
+    df: DataFrame,
+    min_x: float,
+    min_y: float,
+    max_x: float,
+    max_y: float,
+    geometry: str = "geometry",
+) -> DataFrame:
+    """Clip every feature to a bbox (/root/reference/SpaVectors.py:1501).
+
+    bbox prune first (cheap numpy bounds), exact Sutherland–Hodgman
+    clip per ring against the convex box; features clipped away are
+    dropped (reference drops empty results, SpaVectors.py:959).
+    """
+    clip_ring = np.array(
+        [[min_x, min_y], [max_x, min_y], [max_x, max_y], [min_x, max_y],
+         [min_x, min_y]],
+        dtype=np.float64,
+    )
+
+    def op(g):
+        t = g["type"]
+        if t == "Point":
+            x, y = float(g["coordinates"][0]), float(g["coordinates"][1])
+            if min_x <= x <= max_x and min_y <= y <= max_y:
+                return g
+            return None
+        if t not in ("Polygon", "MultiPolygon"):
+            return None  # line clip wired when needed
+        parts_out = []
+        for rings in wkb.polygons_of(g):
+            ext = kernels.clip_ring_convex(rings[0], clip_ring)
+            if ext is None:
+                continue
+            new_rings = [ext]
+            for h in rings[1:]:
+                hc = kernels.clip_ring_convex(h, clip_ring)
+                if hc is not None:
+                    new_rings.append(hc)
+            parts_out.append(new_rings)
+        if not parts_out:
+            return None
+        if len(parts_out) == 1:
+            return {"type": "Polygon", "coordinates": parts_out[0]}
+        return {"type": "MultiPolygon", "coordinates": parts_out}
+
+    return _geom_map(df, op, geometry)
+
+
+def split_features(df: DataFrame, geometry: str = "geometry") -> DataFrame:
+    """Explode Multi* into single-part features, attributes duplicated
+    (/root/reference/SpaVectors.py:591-629)."""
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i, buf in enumerate(pdf[geometry]):
+                g = wkb.loads(bytes(buf))
+                t = g["type"]
+                if t == "MultiPolygon":
+                    parts = [
+                        {"type": "Polygon", "coordinates": p}
+                        for p in g["coordinates"]
+                    ]
+                elif t == "MultiLineString":
+                    parts = [
+                        {"type": "LineString", "coordinates": c}
+                        for c in g["coordinates"]
+                    ]
+                elif t == "MultiPoint":
+                    parts = [
+                        wkb.point(float(c[0]), float(c[1]))
+                        for c in np.asarray(g["coordinates"])
+                    ]
+                else:
+                    parts = [g]
+                for p in parts:
+                    rows.append((i, wkb.dumps(p)))
+            if not rows:
+                yield pdf.iloc[0:0]
+                continue
+            idx = [r[0] for r in rows]
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out[geometry] = [r[1] for r in rows]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Feature info (WKB → scalar pandas UDF columns)
+# ---------------------------------------------------------------------------
+
+
+def _info_udf(fn, ret):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ret)
+    def u(geom: pd.Series) -> pd.Series:
+        return pd.Series([fn(wkb.loads(bytes(b))) for b in geom])
+
+    return u
+
+
+def with_area(df: DataFrame, out: str = "area", geometry: str = "geometry") -> DataFrame:
+    """Shoelace area (/root/reference/SpaVectors.py:690-700)."""
+    return df.withColumn(out, _info_udf(kernels.geom_area, DoubleType())(F.col(geometry)))
+
+
+def with_length(df: DataFrame, out: str = "length", geometry: str = "geometry") -> DataFrame:
+    return df.withColumn(out, _info_udf(kernels.geom_length, DoubleType())(F.col(geometry)))
+
+
+def with_geom_type(df: DataFrame, out: str = "geom_type", geometry: str = "geometry") -> DataFrame:
+    return df.withColumn(
+        out, _info_udf(lambda g: g["type"], StringType())(F.col(geometry))
+    )
+
+
+def with_bounds(df: DataFrame, geometry: str = "geometry") -> DataFrame:
+    """Adds a bbox struct column (minx,miny,maxx,maxy) — the pruning
+    column carried through joins (SURVEY.md §1.1)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ret = StructType(
+        [
+            StructField("minx", DoubleType()),
+            StructField("miny", DoubleType()),
+            StructField("maxx", DoubleType()),
+            StructField("maxy", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(ret)
+    def u(geom: pd.Series) -> pd.DataFrame:
+        vals = [kernels.geom_bounds(wkb.loads(bytes(b))) for b in geom]
+        return pd.DataFrame(vals, columns=["minx", "miny", "maxx", "maxy"])
+
+    return df.withColumn("bbox", u(F.col(geometry)))
+
+
+def layer_bounds(df: DataFrame, geometry: str = "geometry") -> tuple:
+    """Layer-level (minx, miny, maxx, maxy) — partial+final agg
+    (/root/reference/SpaVectors.py:754-782)."""
+    b = with_bounds(df, geometry)
+    row = b.agg(
+        F.min("bbox.minx"), F.min("bbox.miny"),
+        F.max("bbox.maxx"), F.max("bbox.maxy"),
+    ).collect()[0]
+    return tuple(row)

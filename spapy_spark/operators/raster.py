@@ -1,0 +1,429 @@
+"""Raster engine over a distributed tile table.
+
+Data model (SURVEY.md §1.2): one row per (raster_id, band, tile_y,
+tile_x) with a float32 C-order pixel buffer, nodata value, and a
+raster-level geotransform manifest — replacing the reference's dense
+in-memory numpy model (/root/reference/SpaRasters.py:58-122).
+
+Operators:
+
+- map algebra      — tile-aligned equi-join + numpy ufunc in a pandas
+  batch (reference: Math dispatcher /root/reference/SpaRasters.py:894-985);
+  comparison/logical results cast to int8-style 0/1 float (reference
+  casts to GDT_Byte, SpaRasters.py:934-939).
+- scalar algebra   — single-table mapInPandas, same ufuncs.
+- min/max/histogram— mask-aware per-tile partials + final combine
+  (reference: pure-Python double loops, SpaRasters.py:456-490,571-620).
+- reclassify       — np.select over ranges (SpaRasters.py:1170-1217).
+- crop             — tile filter + edge-tile slice (SpaRasters.py:1235-1282).
+- value-at-point   — point→tile equi-join + buffer gather: the
+  raster↔vector sampling op the north rule names (pixel↔ref math
+  mirrors SpaRasters.py:349-401).
+- zonal stats      — sample + groupBy(zone) aggregate.
+
+NoData semantics follow the reference: mask = (band == nodata), masked
+pixels excluded from stats and re-stamped after algebra
+(SpaRasters.py:105-107,747-750,817-819).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_UFUNCS = {
+    "add": np.add,
+    "subtract": np.subtract,
+    "multiply": np.multiply,
+    "divide": np.divide,
+    "maximum": np.maximum,
+    "minimum": np.minimum,
+    "power": np.power,
+}
+_CMP = {
+    "equal": np.equal,
+    "not_equal": np.not_equal,
+    "less": np.less,
+    "less_equal": np.less_equal,
+    "greater": np.greater,
+    "greater_equal": np.greater_equal,
+    "and": np.logical_and,
+    "or": np.logical_or,
+}
+_UNARY = {
+    "round": np.around,
+    "floor": np.floor,
+    "ceil": np.ceil,
+    "trunc": np.trunc,
+    "abs": np.absolute,
+    "sqrt": np.sqrt,
+    "square": np.square,
+    "exp": np.exp,
+    # reference quirk: module-level Log() computes the NATURAL log
+    # (SPAMATH_NATURAL_LOG at /root/reference/SpaRasters.py:2017) — we
+    # expose both and name them honestly.
+    "ln": np.log,
+    "log10": np.log10,
+    "not": np.logical_not,
+}
+
+_TILE_KEY = ["band", "tile_y", "tile_x"]
+
+
+def _buf(b: bytes, h: int, w: int) -> np.ndarray:
+    return np.frombuffer(bytes(b), dtype="<f4").reshape(h, w)
+
+
+def _masked_apply(fn, a, b, nodata):
+    mask = np.equal(a, np.float32(nodata))
+    if isinstance(b, np.ndarray):
+        mask |= np.equal(b, np.float32(nodata))
+    with np.errstate(all="ignore"):
+        out = fn(a.astype(np.float64), b if not isinstance(b, np.ndarray)
+                 else b.astype(np.float64))
+    if out.dtype == bool:
+        out = out.astype(np.float64)
+    out = np.where(mask, np.float64(nodata), out)
+    return out.astype("<f4"), mask
+
+
+def map_algebra(
+    tiles_a: DataFrame,
+    op: str,
+    tiles_b: DataFrame | float | int,
+    out_raster_id: str = "out",
+) -> DataFrame:
+    """raster⊗raster (tile-aligned equi-join) or raster⊗scalar.
+
+    Band counts must align per the reference (SpaRasters.py:914);
+    comparison/logical ops yield 0/1 (GDT_Byte parity).
+    """
+    fn = _UFUNCS.get(op) or _CMP.get(op)
+    if fn is None:
+        raise ValueError(f"unknown op {op!r}")
+    schema = tiles_a.schema
+
+    if isinstance(tiles_b, DataFrame):
+        b = tiles_b.select(
+            *_TILE_KEY, F.col("pixels").alias("pixels_b"),
+            F.col("nodata").alias("nodata_b"),
+        )
+        j = tiles_a.join(b, _TILE_KEY)  # co-partitioned equi-join
+
+        def run(batches):
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    a = _buf(r.pixels, r.height, r.width)
+                    bb = _buf(r.pixels_b, r.height, r.width)
+                    out, _ = _masked_apply(fn, a, bb, r.nodata)
+                    outs.append(out.tobytes())
+                res = pdf.drop(columns=["pixels_b", "nodata_b"]).copy()
+                res["pixels"] = outs
+                res["raster_id"] = out_raster_id
+                yield res
+
+        return j.mapInPandas(run, schema=schema)
+
+    scalar = float(tiles_b)
+
+    def run_s(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                out, _ = _masked_apply(fn, a, scalar, r.nodata)
+                outs.append(out.tobytes())
+            res = pdf.copy()
+            res["pixels"] = outs
+            res["raster_id"] = out_raster_id
+            yield res
+
+    return tiles_a.mapInPandas(run_s, schema=schema)
+
+
+def unary_algebra(tiles: DataFrame, op: str, out_raster_id: str = "out") -> DataFrame:
+    fn = _UNARY.get(op)
+    if fn is None:
+        raise ValueError(f"unknown unary op {op!r}")
+    schema = tiles.schema
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                mask = np.equal(a, np.float32(r.nodata))
+                with np.errstate(all="ignore"):
+                    out = fn(a.astype(np.float64))
+                if out.dtype == bool:
+                    out = out.astype(np.float64)
+                out = np.where(mask, np.float64(r.nodata), out)
+                outs.append(out.astype("<f4").tobytes())
+            res = pdf.copy()
+            res["pixels"] = outs
+            res["raster_id"] = out_raster_id
+            yield res
+
+    return tiles.mapInPandas(run, schema=schema)
+
+
+def reclassify(tiles: DataFrame, bounds: list, values: list,
+               out_raster_id: str = "out") -> DataFrame:
+    """Range reclassify: pixel in [bounds[i], bounds[i+1]) → values[i]
+    (reference SpaRasters.py:1170-1217 via np.select; we implement the
+    single-band-correct semantics — its multi-band condlist leak is a
+    documented reference bug, SURVEY.md §2.6)."""
+    if len(values) != len(bounds) - 1:
+        raise ValueError("need len(values) == len(bounds) - 1")
+    schema = tiles.schema
+    lo = [float(b) for b in bounds[:-1]]
+    hi = [float(b) for b in bounds[1:]]
+    vals = [float(v) for v in values]
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width).astype(np.float64)
+                mask = np.equal(a, np.float64(np.float32(r.nodata)))
+                conds = [(a >= l) & (a < h) for l, h in zip(lo, hi)]
+                out = np.select(conds, vals, default=np.float64(r.nodata))
+                out = np.where(mask, np.float64(r.nodata), out)
+                outs.append(out.astype("<f4").tobytes())
+            res = pdf.copy()
+            res["pixels"] = outs
+            res["raster_id"] = out_raster_id
+            yield res
+
+    return tiles.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Stats (partial per tile → final combine)
+# ---------------------------------------------------------------------------
+
+def band_stats(tiles: DataFrame) -> DataFrame:
+    """Mask-aware per-(raster,band) min/max/sum/count — classic
+    partial+final aggregation (reference loops pixels in Python,
+    SpaRasters.py:456-490)."""
+    part_schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("t_min", DoubleType(), True),
+        StructField("t_max", DoubleType(), True),
+        StructField("t_sum", DoubleType(), True),
+        StructField("t_cnt", LongType(), False),
+    ])
+
+    def partials(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                valid = a[~np.equal(a, np.float32(r.nodata))]
+                if len(valid) == 0:
+                    rows.append((r.raster_id, r.band, None, None, None, 0))
+                else:
+                    v = valid.astype(np.float64)
+                    rows.append((
+                        r.raster_id, r.band, float(v.min()), float(v.max()),
+                        float(v.sum()), int(len(v)),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "t_min", "t_max", "t_sum", "t_cnt"])
+
+    p = tiles.mapInPandas(partials, schema=part_schema)
+    return p.groupBy("raster_id", "band").agg(
+        F.min("t_min").alias("min"),
+        F.max("t_max").alias("max"),
+        F.sum("t_sum").alias("sum"),
+        F.sum("t_cnt").alias("count"),
+    )
+
+
+def histogram(tiles: DataFrame, bins: int = 10) -> DataFrame:
+    """Two-pass histogram: global min/max agg, then per-tile bincount
+    partials combined by bucket (reference SpaRasters.py:571-620)."""
+    stats = {
+        (r["raster_id"], r["band"]): (r["min"], r["max"])
+        for r in band_stats(tiles).collect()
+    }
+    bc = tiles.sparkSession.sparkContext.broadcast((stats, bins))
+    schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("bucket", LongType(), False),
+        StructField("n", LongType(), False),
+    ])
+
+    def partials(batches):
+        st, nb = bc.value
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mn, mx = st[(r.raster_id, r.band)]
+                a = _buf(r.pixels, r.height, r.width)
+                valid = a[~np.equal(a, np.float32(r.nodata))].astype(np.float64)
+                if len(valid) == 0 or mx <= mn:
+                    continue
+                w = (mx - mn) / nb
+                idx = np.clip(((valid - mn) / w).astype(np.int64), 0, nb - 1)
+                counts = np.bincount(idx, minlength=nb)
+                for b_ in range(nb):
+                    if counts[b_]:
+                        rows.append((r.raster_id, r.band, b_, int(counts[b_])))
+            yield pd.DataFrame(rows, columns=["raster_id", "band", "bucket", "n"])
+
+    p = tiles.mapInPandas(partials, schema=schema)
+    return p.groupBy("raster_id", "band", "bucket").agg(
+        F.sum("n").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crop (tile filter + edge slice)
+# ---------------------------------------------------------------------------
+
+
+def crop_pixels(
+    tiles: DataFrame,
+    px0: int,
+    py0: int,
+    px1: int,
+    py1: int,
+    tile: int,
+) -> DataFrame:
+    """ExtractByPixels (reference SpaRasters.py:1341-1388): keep global
+    pixel window [px0..px1) × [py0..py1), re-origined to (0,0), emitted
+    as a new tile grid.  Whole-tile interior passes through without
+    copying; only edge tiles slice."""
+    schema = tiles.schema
+    t0x, t1x = px0 // tile, (px1 - 1) // tile
+    t0y, t1y = py0 // tile, (py1 - 1) // tile
+    pruned = tiles.where(
+        (F.col("tile_x") >= t0x) & (F.col("tile_x") <= t1x)
+        & (F.col("tile_y") >= t0y) & (F.col("tile_y") <= t1y)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                gx0, gy0 = r.tile_x * tile, r.tile_y * tile
+                sx0 = max(px0 - gx0, 0)
+                sy0 = max(py0 - gy0, 0)
+                sx1 = min(px1 - gx0, r.width)
+                sy1 = min(py1 - gy0, r.height)
+                a = _buf(r.pixels, r.height, r.width)[sy0:sy1, sx0:sx1]
+                rows.append((
+                    r.raster_id, r.band,
+                    int(r.tile_y - t0y), int(r.tile_x - t0x),
+                    a.shape[0], a.shape[1], r.nodata,
+                    np.ascontiguousarray(a).tobytes(),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "tile_y", "tile_x", "height", "width",
+                "nodata", "pixels"])
+
+    return pruned.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Raster↔vector: value-at-point sampling + zonal stats (north rule)
+# ---------------------------------------------------------------------------
+
+
+def sample_points(
+    points: DataFrame,
+    tiles: DataFrame,
+    geotransform: tuple,
+    tile: int,
+    raster_id: str | None = None,
+    band: int = 1,
+    x: str = "lon",
+    y: str = "lat",
+    point_cols: list[str] | None = None,
+    out: str = "value",
+) -> DataFrame:
+    """Value-at-point lookup: compute each point's (tile_y, tile_x)
+    from the geotransform (pixel↔ref math of SpaRasters.py:349-401),
+    equi-join to the tile table, gather from the pixel buffer.
+
+    Points outside the raster or on nodata pixels are dropped (matching
+    a masked sample).  The join is a plain Catalyst hash join on the
+    integer tile key — at scale the tile side is pre-bucketed.
+    """
+    if point_cols is None:
+        point_cols = [c for c in points.columns if c not in (x, y)]
+    x0, pw, _, y0, _, ph = geotransform
+    px = F.floor((F.col(x) - F.lit(x0)) / F.lit(pw)).cast("long")
+    py = F.floor((F.col(y) - F.lit(y0)) / F.lit(ph)).cast("long")
+    pts = points.select(*point_cols, x, y).withColumn("__px", px).withColumn(
+        "__py", py
+    )
+    pts = pts.withColumn(
+        "tile_x", F.floor(F.col("__px") / tile).cast("int")
+    ).withColumn("tile_y", F.floor(F.col("__py") / tile).cast("int"))
+    t = tiles.where(F.col("band") == band)
+    if raster_id is not None:
+        t = t.where(F.col("raster_id") == raster_id)
+    j = pts.join(
+        t.select("tile_y", "tile_x", "height", "width", "nodata", "pixels"),
+        ["tile_y", "tile_x"],
+    )
+    fields = [f for f in points.schema.fields if f.name in point_cols]
+    schema = StructType(fields + [StructField(out, DoubleType(), False)])
+
+    def gather(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = np.empty(len(pdf), dtype=np.float64)
+            ok = np.zeros(len(pdf), dtype=bool)
+            # group rows by tile buffer to decode each buffer once
+            codes, uniq = pd.factorize(pdf["pixels"], use_na_sentinel=False)
+            for gi, buf in enumerate(uniq):
+                m = codes == gi
+                sub = pdf[m]
+                h = int(sub["height"].iloc[0])
+                w = int(sub["width"].iloc[0])
+                nd = float(sub["nodata"].iloc[0])
+                a = _buf(buf, h, w)
+                ly = sub["__py"].to_numpy(np.int64) - sub["tile_y"].to_numpy(
+                    np.int64
+                ) * a.shape[0]
+                lx = sub["__px"].to_numpy(np.int64) - sub["tile_x"].to_numpy(
+                    np.int64
+                ) * a.shape[1]
+                inb = (ly >= 0) & (ly < h) & (lx >= 0) & (lx < w)
+                v = np.full(len(sub), nd)
+                v[inb] = a[ly[inb], lx[inb]].astype(np.float64)
+                vals[m] = v
+                ok[m] = inb & ~np.equal(v, np.float64(np.float32(nd)))
+            res = pdf.loc[ok, point_cols].reset_index(drop=True)
+            res[out] = vals[ok]
+            yield res
+
+    return j.mapInPandas(gather, schema=schema)
+
+
+def zonal_stats(
+    samples: DataFrame,
+    zone_col: str = "zone_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-zone aggregate over sampled values — plain hash agg."""
+    return samples.groupBy(zone_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.sum(value_col).alias("sum"),
+    )

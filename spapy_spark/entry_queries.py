@@ -362,9 +362,191 @@ def q_events_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_zone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile/zone assignment counts — the north-rule throughput agg."""
+    hits = q_pip_zones(spark, sf_dir)
+    return (
+        hits.groupBy("zone_id").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("zone_id")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.quality_scores(docs).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.fingerprint(docs).select("doc_id", "fp").orderBy("doc_id")
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, n_hashes=16).orderBy("doc_id")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=16).orderBy("doc_id")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, shingle_len=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-point raster sampling against the algebraic raster
+    (integer-exact pixel values the oracle recomputes in SQL)."""
+    from .operators import raster
+
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    # points inside the raster extent lon [-10,-7.45), lat (7.45,10]
+    pts = o.select(
+        k.alias("point_id"),
+        (F.lit(-10.0) + ((k * 7919) % 25500) / 10000.0 + 0.00005).alias("lon"),
+        (F.lit(10.0) - ((k * 9973) % 25500) / 10000.0 - 0.00005).alias("lat"),
+    )
+    tiles = synth.alg_raster_tiles(spark)
+    out = raster.sample_points(
+        pts, tiles, synth.GEOTRANSFORM, synth.TILE, raster_id="alg",
+        point_cols=["point_id"],
+    )
+    return out.orderBy("point_id")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL strings
 # ---------------------------------------------------------------------------
+
+_MINHASH_TH = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+
+
+def _minhash_oracle_sql() -> str:
+    from .operators.dedup import _A, _B, _P
+
+    cols = ", ".join(
+        f"MIN(({_A[i]} * th + {_B[i]}) % {_P}) AS mh{i}" for i in range(16)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents),"
+        f" th AS (SELECT doc_id, {_MINHASH_TH} AS th FROM toks)"
+        f" SELECT doc_id, {cols} FROM th GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    sums = ", ".join(
+        f"SUM(((th >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return (
+        "WITH toks AS (SELECT DISTINCT doc_id,"
+        " unnest(string_split(text, ' ')) AS tok FROM documents),"
+        f" th AS (SELECT doc_id, {_MINHASH_TH} AS th FROM toks),"
+        f" s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)"
+        f" SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM s"
+        " ORDER BY doc_id"
+    )
+
+
+def _jaccard_oracle_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l"
+        " FROM documents WHERE len(string_split(text, ' ')) >= 3),"
+        " pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2))"
+        " AS i FROM d),"
+        " sh AS (SELECT DISTINCT doc_id,"
+        " l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh FROM pos),"
+        " sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh"
+        " GROUP BY doc_id),"
+        " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " CAST(count(*) AS BIGINT) AS inter"
+        " FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id"
+        " GROUP BY a.doc_id, b.doc_id)"
+        " SELECT id_a, id_b, inter,"
+        " (sa.n + sb.n - inter) AS union_n"
+        " FROM inter JOIN sizes sa ON sa.doc_id = id_a"
+        " JOIN sizes sb ON sb.doc_id = id_b"
+        " WHERE inter * 1000000 >= (sa.n + sb.n - inter) * 500000"
+        " ORDER BY id_a, id_b"
+    )
+
+
+def _ann_oracle_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings"
+        " WHERE vec_id < 10),"
+        " dots AS (SELECT q.query_id, e.vec_id,"
+        " CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) *"
+        " CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)"
+        " AS dot"
+        " FROM q CROSS JOIN embeddings e"
+        " CROSS JOIN unnest(generate_series(1, len(e.embedding))) AS t(i)"
+        " GROUP BY q.query_id, e.vec_id),"
+        " norms AS (SELECT vec_id,"
+        " sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *"
+        " CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE))"
+        " AS norm"
+        " FROM embeddings CROSS JOIN"
+        " unnest(generate_series(1, len(embedding))) AS t(i)"
+        " GROUP BY vec_id),"
+        " cos AS (SELECT d.query_id, d.vec_id,"
+        " d.dot / (nq.norm * nv.norm) AS cosine"
+        " FROM dots d JOIN norms nq ON nq.vec_id = d.query_id"
+        " JOIN norms nv ON nv.vec_id = d.vec_id),"
+        " r AS (SELECT query_id, vec_id, cosine,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, vec_id) AS rnk FROM cos)"
+        " SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank, cosine"
+        " FROM r WHERE rnk <= 5 ORDER BY query_id, rank"
+    )
+
+
+def _raster_sample_oracle_sql() -> str:
+    # mirrors q_raster_sample's derivation + the engine's pixel math:
+    # px = floor((lon - x0)/pw), py = floor((lat - y0)/ph); value =
+    # ((px*37 + py*91) % 1000) - 200  (exact integer in float32)
+    return (
+        "WITH pts AS (SELECT o_orderkey AS point_id,"
+        " -10.0 + ((o_orderkey * 7919) % 25500) / 10000.0 + 0.00005 AS lon,"
+        " 10.0 - ((o_orderkey * 9973) % 25500) / 10000.0 - 0.00005 AS lat"
+        " FROM orders),"
+        " px AS (SELECT point_id,"
+        " CAST(floor((lon - (-10.0)) / 0.01) AS BIGINT) AS gx,"
+        " CAST(floor((lat - 10.0) / (-0.01)) AS BIGINT) AS gy FROM pts)"
+        " SELECT point_id,"
+        " CAST(((gx * 37 + gy * 91) % 1000) - 200 AS DOUBLE) AS value"
+        " FROM px WHERE gx >= 0 AND gx < 256 AND gy >= 0 AND gy < 256"
+        " ORDER BY point_id"
+    )
 
 
 def build_queries() -> dict:
@@ -380,6 +562,14 @@ def build_queries() -> dict:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_sequence": q_events_sequence,
+        "pip_zone_stats": q_pip_zone_stats,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_cosine": q_ann_cosine,
+        "raster_sample": q_raster_sample,
     }
 
 
@@ -468,6 +658,42 @@ def build_oracle_sql() -> dict:
             " AS BIGINT) AS seq"
             " FROM events ORDER BY event_id"
         ),
+        "pip_zone_stats": (
+            _pip_oracle_sql().replace("ORDER BY point_id, zone_id", "")
+            .replace(
+                "SELECT point_id, zone_id FROM (",
+                "SELECT zone_id, CAST(count(*) AS BIGINT) AS n_docs FROM (",
+            )
+            + " GROUP BY zone_id ORDER BY zone_id"
+        ),
+        "quality_scores": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))"
+            " AS tok FROM documents),"
+            " agg AS (SELECT doc_id,"
+            " CAST(count(*) AS BIGINT) AS n_tokens,"
+            " CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,"
+            f" CAST(sum(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_stop,"
+            " CAST(sum(length(tok)) AS BIGINT) AS n_chars_tok"
+            " FROM toks GROUP BY doc_id)"
+            " SELECT doc_id,"
+            " n_stop / n_tokens AS stop_ratio,"
+            " n_distinct / n_tokens AS ttr,"
+            " n_chars_tok / n_tokens AS avg_tok_len"
+            " FROM agg ORDER BY doc_id"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id,"
+            " list_reduce(list_transform(string_split(text, ''),"
+            " x -> CAST(ord(x) AS BIGINT)),"
+            " (a, b) -> (a * 31 + b) % 1000000007) AS fp"
+            " FROM documents ORDER BY doc_id"
+        ),
+        "minhash_sigs": _minhash_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
+        "jaccard_pairs": _jaccard_oracle_sql(),
+        "ann_cosine": _ann_oracle_sql(),
+        "raster_sample": _raster_sample_oracle_sql(),
     }
 
 

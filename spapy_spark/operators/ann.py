@@ -1,0 +1,180 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two strategies per the training-data-pipeline mandate:
+
+- ``cosine_topk``    — exact brute-force baseline: broadcast the query
+  set, dot products via posexplode + decimal-exact sums (JVM-side, no
+  Python; bit-reproducible in the DuckDB oracle).
+- ``lsh_cosine_topk``— scale path: deterministic random-hyperplane LSH.
+  A vectorized pandas UDF projects each embedding onto ``n_planes``
+  splitmix-generated hyperplanes → sign-bit bucket; candidates =
+  bucket collisions (multi-probe over exact bucket + 1-bit flips);
+  exact cosine re-rank inside buckets only.
+
+At 10^9+ vectors the LSH path is one narrow projection + one
+equi-join; the brute path is the correctness oracle at test scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
+
+from ..sources.synth import _mix
+
+
+def _norms(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Decimal-exact L2 norms (deterministic across engines)."""
+    e = df.select(id_col, F.posexplode(vec_col).alias("pos", "v"))
+    return e.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum(
+                (F.col("v").cast("double") * F.col("v").cast("double")).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+        ).alias("norm")
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    Dot products via position join + decimal-exact sum; ties broken by
+    (cosine desc, vec_id).  Output: (query_id, vec_id, rank, cosine).
+    """
+    qe = queries.select(
+        F.col(query_id), F.posexplode(vec_col).alias("pos", "qv")
+    )
+    ve = vectors.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "vv")
+    )
+    dots = (
+        ve.join(F.broadcast(qe), "pos")
+        .groupBy(query_id, id_col)
+        .agg(
+            F.sum(
+                (F.col("qv").cast("double") * F.col("vv").cast("double"))
+                .cast("decimal(28,12)")
+            ).cast("double").alias("dot")
+        )
+    )
+    qn = _norms(queries, query_id, vec_col).withColumnRenamed("norm", "qn")
+    vn = _norms(vectors, id_col, vec_col).withColumnRenamed("norm", "vn")
+    cos = (
+        dots.join(F.broadcast(qn), query_id)
+        .join(vn, id_col)
+        .withColumn("cosine", F.col("dot") / (F.col("qn") * F.col("vn")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH scale path
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes via splitmix64 →
+    uniform(-1, 1) (platform-stable, no RNG state)."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(
+        seed * 1_000_003
+    )
+    u = (_mix(idx) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    return (u * 2.0 - 1.0).reshape(n_planes, dim)
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "bucket",
+    seed: int = 1234,
+) -> DataFrame:
+    """Append the sign-bit hyperplane bucket (vectorized matmul UDF)."""
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf(LongType())
+    def enc(vs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(m) == 0:
+            return pd.Series([], dtype="int64")
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+        return pd.Series(signs @ weights)
+
+    return df.withColumn(out, enc(F.col(vec_col)))
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 12,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    seed: int = 1234,
+) -> DataFrame:
+    """Approximate top-k: candidates from bucket collisions (with
+    ``probes``-bit multi-probe flips on the query side), exact cosine
+    re-rank within candidates.  Recall grows with probes/planes."""
+    v = add_lsh_bucket(vectors, dim, n_planes, id_col, vec_col, seed=seed)
+    q = add_lsh_bucket(queries, dim, n_planes, query_id, vec_col, seed=seed)
+    # multi-probe: query also probes buckets at hamming distance ≤ probes
+    probe_buckets = [F.col("bucket")]
+    if probes >= 1:
+        probe_buckets += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(probe_buckets)))
+    cand = v.join(
+        F.broadcast(q.select(query_id, "bucket",
+                             F.col(vec_col).alias("__qv"))),
+        "bucket",
+    )
+    qe = cand.select(
+        query_id, id_col, F.posexplode("__qv").alias("pos", "qv"),
+    )
+    # (tiny candidate sets — reuse the exact machinery via a self join)
+    ve = cand.select(query_id, id_col,
+                     F.posexplode(vec_col).alias("pos", "vv"))
+    dots = (
+        ve.join(qe, [query_id, id_col, "pos"])
+        .groupBy(query_id, id_col)
+        .agg(
+            F.sum(F.col("qv").cast("double") * F.col("vv").cast("double"))
+            .alias("dot")
+        )
+    )
+    qn = _norms(queries, query_id, vec_col).withColumnRenamed("norm", "qn")
+    vn = _norms(vectors, id_col, vec_col).withColumnRenamed("norm", "vn")
+    cos = (
+        dots.join(F.broadcast(qn), query_id)
+        .join(vn, id_col)
+        .withColumn("cosine", F.col("dot") / (F.col("qn") * F.col("vn")))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cos.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", "cosine")
+    )

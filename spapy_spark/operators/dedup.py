@@ -1,0 +1,246 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — the standard
+training-data pipeline ladder.  Everything is built-in Spark SQL
+(JVM-side): token hashes derive from ``md5`` hex prefixes so the
+DuckDB oracles reproduce them bit-for-bit (entry_queries.py), and all
+arithmetic stays under 2^63 (both engines run ANSI overflow checks).
+
+Scale notes: signatures are one shuffle (groupBy doc); LSH candidate
+generation is a self-equi-join on (band, band_hash) — the classic
+banding trick keeps the pair space near-linear; exact Jaccard verify
+runs only on band-collision candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+_P = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+# deterministic universal-hash parameters (a odd, < 2^31)
+_A = [
+    1664525, 22695477, 69069, 1103515245, 134775813, 214013, 16843009,
+    1000000007, 747796405, 278846, 1274126177, 1664525 * 3 % _P,
+    987654323, 192837465, 564738291, 13579753,
+]
+_B = [
+    1013904223, 1, 362437, 12345, 1, 2531011, 826366247, 998244353,
+    2891336453 % _P, 9576890767 % _P, 1406932606, 654321, 192837,
+    1029384756 % _P, 555555555, 77777777,
+]
+
+
+def token_hash_col(tok_col: str = "tok") -> F.Column:
+    """32-bit token hash from the md5 hex prefix — reproducible in any
+    SQL engine (``('0x' || substr(md5(tok), 1, 8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(F.col(tok_col)), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one representative (min id) per
+    distinct text + duplicate count."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min(id_col).alias("rep_" + id_col),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: min over distinct tokens of
+    ``(a_i * th + b_i) mod p`` for each of ``n_hashes`` functions.
+
+    One explode + one groupBy (partial-agg min combines map-side).
+    Output columns: id, mh0..mh{n-1}.
+    """
+    if n_hashes > len(_A):
+        raise ValueError(f"n_hashes <= {len(_A)}")
+    t = tokens(df.select(id_col, text_col), text_col).select(
+        id_col, token_hash_col().alias("th")
+    )
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("th") + F.lit(_B[i])) % F.lit(_P)).alias(
+            f"mh{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return t.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: (id, band, band_hash) — docs sharing any band hash
+    are near-dup candidates."""
+    outs = []
+    for b in range(bands):
+        h = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            h = h * 1_000_003 % F.lit(_P) + F.col(f"mh{b * rows_per_band + r}")
+        outs.append(
+            sigs.select(
+                F.col(id_col), F.lit(b).alias("band"),
+                (h % F.lit(_P)).alias("band_hash"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from LSH band collisions."""
+    sigs = minhash_signatures(df, n_hashes, id_col, text_col)
+    bnd = minhash_bands(sigs, bands, n_hashes // bands, id_col)
+    left = bnd.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    right = bnd.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    pairs = left.join(right, ["band", "band_hash"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram (token shingle) Jaccard over all colliding pairs.
+
+    shingles → distinct (id, shingle) → self-join on shingle →
+    intersection counts → |A∪B| = |A|+|B|−|A∩B|.  Output (id_a, id_b,
+    inter, union_n) with Jaccard ≥ threshold, integer counts only
+    (the caller divides; keeps the oracle FP-free).
+    """
+    src = df.where(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_len
+    )
+    sh = src.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split({text_col}, ' ')) -"
+                f" {shingle_len}),"
+                f" i -> concat_ws(' ', slice(split({text_col}, ' '),"
+                f" i + 1, {shingle_len})))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+    )
+    # integer threshold test: inter/union >= t  ⇔  inter*K >= union*(t*K)
+    k = 1_000_000
+    return j.where(
+        F.col("inter") * k >= F.col("union_n") * int(threshold * k)
+    ).select("id_a", "id_b", "inter", "union_n")
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash fingerprint over distinct token hashes.
+
+    bit_j(doc) = 1 iff Σ_tokens (2·bit_j(th) − 1) > 0; fingerprint =
+    Σ bit_j << j.  Integer-only; near-dups differ in few bits (pair
+    search = group by fingerprint or band the bits).
+    """
+    t = (
+        tokens(df.select(id_col, text_col), text_col)
+        .select(id_col, "tok").distinct()
+        .select(id_col, token_hash_col().alias("th"))
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    g = t.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"s{j}") > 0, 1 << j).otherwise(0)
+    return g.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming_pairs(
+    sims: DataFrame, max_dist: int = 3, id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_dist.
+
+    Scale path: band the fingerprint into (max_dist+1) chunks — by
+    pigeonhole two fingerprints within distance d share at least one
+    exact chunk — join per chunk, then exact popcount verify.
+    """
+    chunks = max_dist + 1
+    width = bits // chunks
+    outs = []
+    for c in range(chunks):
+        key = F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        outs.append(
+            sims.select(
+                F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),
+                key.alias("ck"),
+            )
+        )
+    b = outs[0]
+    for o in outs[1:]:
+        b = b.unionByName(o)
+    left = b.select("chunk", "ck", F.col(id_col).alias("id_a"),
+                    F.col("simhash").alias("sh_a"))
+    right = b.select("chunk", "ck", F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("sh_b"))
+    pairs = (
+        left.join(right, ["chunk", "ck"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("dist", dist).where(
+        F.col("dist") <= max_dist
+    ).select("id_a", "id_b", "dist")

@@ -1,0 +1,101 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All operators here are pure built-in Spark SQL (JVM-side, whole-stage
+codegen — zero Python in the hot path): token counting, stopword-based
+language ID, quality scoring, and polynomial document fingerprinting.
+
+These extend the reference's surface (SpaPy has no text ops) per the
+driver's training-data-pipeline mandate; each has a DuckDB-oracle
+query in entry_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+# Rabin-style rolling-hash modulus (fits acc*31+ch in int64)
+FP_MOD = 1_000_000_007
+
+
+def tokens(df: DataFrame, text_col: str = "text", out: str = "tok") -> DataFrame:
+    """Whitespace tokenizer → exploded (id rows duplicated per token)."""
+    return df.withColumn(out, F.explode(F.split(F.col(text_col), " ")))
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token count / distinct count / stopword count / char sum.
+
+    Integer-only aggregates — no FP nondeterminism anywhere.
+    """
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    t = tokens(df.select(id_col, text_col), text_col)
+    return t.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(
+            F.expr(f"CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END")
+        ).alias("n_stop"),
+        F.sum(F.length("tok")).alias("n_chars_tok"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality scoring: stopword ratio, type-token ratio, mean token
+    length — the standard web-corpus quality heuristics (double ratios
+    of exact integers → bit-identical across engines)."""
+    s = token_stats(df, id_col, text_col)
+    return s.select(
+        id_col,
+        (F.col("n_stop") / F.col("n_tokens")).alias("stop_ratio"),
+        (F.col("n_distinct") / F.col("n_tokens")).alias("ttr"),
+        (F.col("n_chars_tok") / F.col("n_tokens")).alias("avg_tok_len"),
+    )
+
+
+def lang_guess(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold_pct: int = 5,
+) -> DataFrame:
+    """n-gram-free language ID heuristic: English stopword density.
+
+    ``n_stop * 100 >= n_tokens * threshold_pct`` → 'en' (integer
+    comparison — deterministic)."""
+    s = token_stats(df, id_col, text_col)
+    return s.select(
+        id_col,
+        F.when(
+            F.col("n_stop") * 100 >= F.col("n_tokens") * threshold_pct, "en"
+        ).otherwise("other").alias("lang_guess"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    out: str = "fp",
+) -> DataFrame:
+    """Polynomial rolling hash over the raw characters, mod FP_MOD.
+
+    fold(chars, 0, acc*31 + ord(ch) mod p) — a classic Rabin document
+    fingerprint, fully JVM-side via ``aggregate`` over ``split``.
+    The byte-identity invariant check rides on this: equal fp ⇒ equal
+    text bytes (mod collisions); tests pair it with full equality.
+    """
+    expr = (
+        f"aggregate(split({text_col}, ''), 0L,"
+        f" (acc, ch) -> (acc * 31 + ascii(ch)) % {FP_MOD})"
+    )
+    return df.withColumn(out, F.expr(expr))
+
+
+def text_sha256(
+    df: DataFrame, text_col: str = "text", out: str = "text_sha"
+) -> DataFrame:
+    """Cryptographic per-row fingerprint of the text bytes — the
+    stage-over-stage byte-identity guard (input_hint invariant)."""
+    return df.withColumn(out, F.sha2(F.col(text_col), 256))

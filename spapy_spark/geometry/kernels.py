@@ -421,6 +421,39 @@ def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray |
     return np.vstack([out, out[:1]])
 
 
+def clip_ring_halfplane(
+    subject: np.ndarray, a: np.ndarray, b: np.ndarray, keep_left: bool = True
+) -> np.ndarray | None:
+    """Clip a ring by one infinite half-plane of the directed line a→b
+    (keep the left side when ``keep_left``).  Same Sutherland–Hodgman
+    inner step as :func:`clip_ring_convex`, for a single unbounded
+    edge — the building block of the convex-complement wedge
+    decomposition used by polygon difference."""
+    out = np.asarray(subject, dtype=np.float64)
+    if np.array_equal(out[0], out[-1]):
+        out = out[:-1]
+    ex, ey = float(b[0] - a[0]), float(b[1] - a[1])
+    sgn = 1.0 if keep_left else -1.0
+    px, py = out[:, 0], out[:, 1]
+    side = sgn * (ex * (py - a[1]) - ey * (px - a[0]))
+    nxt = np.roll(out, -1, axis=0)
+    side_n = np.roll(side, -1)
+    new_pts = []
+    for j in range(len(out)):
+        cur_in = side[j] >= 0
+        nxt_in = side_n[j] >= 0
+        if cur_in:
+            new_pts.append(out[j])
+        if cur_in != nxt_in:
+            d = side[j] - side_n[j]
+            t = side[j] / d if d != 0 else 0.0
+            new_pts.append(out[j] + t * (nxt[j] - out[j]))
+    if len(new_pts) < 3:
+        return None
+    arr = np.array(new_pts, dtype=np.float64)
+    return np.vstack([arr, arr[:1]])
+
+
 # ---------------------------------------------------------------------------
 # Rect × ring intersection (for cell coverings)
 # ---------------------------------------------------------------------------

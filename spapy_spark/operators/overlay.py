@@ -54,6 +54,111 @@ def intersection_convex_clip(g: dict, clip: dict) -> dict | None:
     return {"type": "MultiPolygon", "coordinates": parts_out}
 
 
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    return r[::-1] if kernels.ring_signed_area(r) < 0 else r
+
+
+def _wedge_pieces(rings: list[np.ndarray], clip_ring: np.ndarray):
+    """rings ∖ convex(clip_ring) as disjoint polygon pieces.
+
+    Complement of a convex polygon = union of disjoint edge wedges:
+    wedge_i = right-of(edge_i) ∩ left-of(edges 0..i-1).  Each wedge is
+    an intersection of half-planes, so clipping the subject by the
+    wedge is a chain of single-edge Sutherland–Hodgman passes — exact
+    for arbitrary subject rings.
+    """
+    cr = _ccw(clip_ring)
+    if np.array_equal(cr[0], cr[-1]):
+        cr = cr[:-1]
+    pieces = []
+    n = len(cr)
+    for i in range(n):
+        ext = np.asarray(rings[0], dtype=np.float64)
+        piece = kernels.clip_ring_halfplane(
+            ext, cr[i], cr[(i + 1) % n], keep_left=False
+        )
+        for j in range(i):
+            if piece is None:
+                break
+            piece = kernels.clip_ring_halfplane(
+                piece, cr[j], cr[(j + 1) % n], keep_left=True
+            )
+        if piece is None:
+            continue
+        holes = []
+        for h in rings[1:]:
+            hc = kernels.clip_ring_halfplane(
+                np.asarray(h, dtype=np.float64), cr[i], cr[(i + 1) % n],
+                keep_left=False,
+            )
+            for j in range(i):
+                if hc is None:
+                    break
+                hc = kernels.clip_ring_halfplane(
+                    hc, cr[j], cr[(j + 1) % n], keep_left=True
+                )
+            if hc is not None:
+                holes.append(hc)
+        pieces.append([piece] + holes)
+    return pieces
+
+
+def difference_convex_clip(g: dict, clip: dict) -> dict | None:
+    """g ∖ clip where every clip ring is convex (arbitrary g).
+
+    Multi-part clips subtract sequentially: A∖(P₁∪P₂) = (A∖P₁)∖P₂.
+    Clip holes (rare) are ignored conservatively — a hole in the clip
+    *adds back* area; callers with holed clips should decompose first.
+    Output MultiPolygon of disjoint wedge pieces or None when empty
+    (reference drops empties, /root/reference/SpaVectors.py:959).
+    """
+    parts = [list(r) for r in wkb.polygons_of(g)]
+    for clip_rings in wkb.polygons_of(clip):
+        new_parts = []
+        for rings in parts:
+            new_parts.extend(_wedge_pieces(rings, clip_rings[0]))
+        parts = new_parts
+        if not parts:
+            return None
+    # drop degenerate slivers
+    parts = [p for p in parts if kernels.polygon_area(p) > 1e-12]
+    if not parts:
+        return None
+    return {"type": "MultiPolygon", "coordinates": parts}
+
+
+def union_convex(g1: dict, g2: dict) -> dict | None:
+    """g1 ∪ g2 = g1 + (g2 ∖ g1), exact when g1's rings are convex
+    (the wedge decomposition runs against g1)."""
+    rest = difference_convex_clip(g2, g1)
+    parts = [list(r) for r in wkb.polygons_of(g1)]
+    if rest is not None:
+        parts.extend(rest["coordinates"])
+    return {"type": "MultiPolygon", "coordinates": parts}
+
+
+def symmetric_difference_convex(g1: dict, g2: dict) -> dict | None:
+    """(g1 ∖ g2) + (g2 ∖ g1), exact when both inputs' rings are convex."""
+    a = difference_convex_clip(g1, g2)
+    b = difference_convex_clip(g2, g1)
+    parts = []
+    for g in (a, b):
+        if g is not None:
+            parts.extend(g["coordinates"])
+    if not parts:
+        return None
+    return {"type": "MultiPolygon", "coordinates": parts}
+
+
+_OVERLAY_KERNELS = {
+    "intersection": intersection_convex_clip,
+    "difference": difference_convex_clip,
+    "union": union_convex,
+    "symmetric_difference": symmetric_difference_convex,
+}
+
+
 def _rings_of(g: dict) -> list[np.ndarray]:
     return [np.asarray(rings[0]) for rings in wkb.polygons_of(g)]
 
@@ -230,19 +335,36 @@ def _union_all(dfs):
     return out
 
 
-def overlay_intersection(
+def overlay_join(
     left: DataFrame,
     right: DataFrame,
+    op: str = "intersection",
     res: int = 8,
     left_id: str = "left_id",
     right_id: str = "right_id",
     geometry: str = "geometry",
 ) -> DataFrame:
-    """Pairwise A∩B for all candidate pairs (right rings convex).
+    """Pairwise overlay for all relevant pairs, reference semantics
+    (/root/reference/SpaVectors.py:901-1004): one output row per pair
+    with a non-empty result, left attributes carried by ``left_id``,
+    invalid pairs skipped, results MultiPolygon.
 
-    Output: (left_id, right_id, geometry WKB MultiPolygon).
+    op ∈ {intersection, difference, union, symmetric_difference}.
+    ``intersection`` prunes candidates through the cell join; the
+    other ops are non-empty even for disjoint pairs (A∖B = A), so the
+    pair space is the full cross product — exactly the reference's
+    O(N·M) output, distributed.  Convexity requirements per op are
+    documented on the kernels.
     """
-    pairs = _candidates(left, right, res, left_id, right_id, geometry)
+    fn = _OVERLAY_KERNELS.get(op)
+    if fn is None:
+        raise ValueError(f"unknown overlay op {op!r}")
+    if op == "intersection":
+        pairs = _candidates(left, right, res, left_id, right_id, geometry)
+    else:
+        l_ = left.select(F.col(left_id), F.col(geometry).alias("__lg"))
+        r_ = right.select(F.col(right_id), F.col(geometry).alias("__rg"))
+        pairs = l_.crossJoin(r_)
     schema = StructType(
         [f for f in pairs.schema.fields if f.name in (left_id, right_id)]
         + [StructField("geometry", BinaryType(), False)]
@@ -255,9 +377,7 @@ def overlay_intersection(
                 pdf[left_id], pdf[right_id], pdf["__lg"], pdf["__rg"]
             ):
                 try:
-                    g = intersection_convex_clip(
-                        wkb.loads(bytes(lg)), wkb.loads(bytes(rg))
-                    )
+                    g = fn(wkb.loads(bytes(lg)), wkb.loads(bytes(rg)))
                 except Exception:
                     g = None  # invalid inputs skipped (SpaVectors.py:934)
                 if g is None:
@@ -269,6 +389,41 @@ def overlay_intersection(
                                 "geometry": geoms})
 
     return pairs.mapInPandas(refine, schema=schema)
+
+
+def overlay_intersection(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 8,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    geometry: str = "geometry",
+) -> DataFrame:
+    """Pairwise A∩B for all candidate pairs (right rings convex)."""
+    return overlay_join(left, right, "intersection", res, left_id,
+                        right_id, geometry)
+
+
+def self_overlay_fold(
+    df: DataFrame, op: str = "intersection", geometry: str = "geometry"
+) -> dict | None:
+    """Reference OverlayWithSelf (/root/reference/SpaVectors.py:
+    1006-1038): left-fold the op across all features producing one
+    geometry (an aggregate, not a join).  Driver-side fold over a
+    collected geometry column — the reference's semantics are
+    inherently sequential; feature counts here are layer-sized."""
+    fn = _OVERLAY_KERNELS.get(op)
+    if fn is None:
+        raise ValueError(f"unknown overlay op {op!r}")
+    rows = [r[0] for r in df.select(geometry).collect()]
+    if not rows:
+        return None
+    acc = wkb.loads(bytes(rows[0]))
+    for buf in rows[1:]:
+        acc = fn(acc, wkb.loads(bytes(buf)))
+        if acc is None:
+            return None
+    return acc
 
 
 def relate_join(

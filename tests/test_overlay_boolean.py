@@ -1,0 +1,113 @@
+"""Polygon boolean ops: exact area identities are the oracle —
+area(A∖B) = area(A) − area(A∩B), area(A∪B) = a+b−i, symdiff = u−i.
+Random convex polygon pairs + the reference's box cases."""
+
+import numpy as np
+import pytest
+
+from spapy_spark.geometry import kernels, wkb
+from spapy_spark.operators import overlay
+from spapy_spark.sources.synth import u01
+
+
+def _rand_convex(i: int, cx: float, cy: float, r: float) -> dict:
+    k = 5 + int(u01(np.array([i]), 900)[0] * 6)
+    th = np.sort(u01(np.arange(i * 31, i * 31 + k), 901)) * 2 * np.pi
+    rr = r * (0.5 + u01(np.arange(i * 31, i * 31 + k), 902))
+    ring = np.column_stack([cx + rr * np.cos(th), cy + rr * np.sin(th)])
+    hull = kernels.convex_hull(ring)
+    return wkb.polygon(hull)
+
+
+AREAS = lambda g: 0.0 if g is None else kernels.geom_area(g)  # noqa: E731
+
+
+@pytest.mark.parametrize("i", range(12))
+def test_boolean_area_identities_random(i):
+    a = _rand_convex(i, 0.0, 0.0, 2.0)
+    b = _rand_convex(i + 100, u01(np.array([i]), 903)[0] * 3 - 1.5,
+                     u01(np.array([i]), 904)[0] * 3 - 1.5, 1.5)
+    ai, au = AREAS(a), AREAS(b)
+    inter = AREAS(overlay.intersection_convex_clip(a, b))
+    diff = AREAS(overlay.difference_convex_clip(a, b))
+    diff_ba = AREAS(overlay.difference_convex_clip(b, a))
+    union = AREAS(overlay.union_convex(a, b))
+    sym = AREAS(overlay.symmetric_difference_convex(a, b))
+    assert diff == pytest.approx(ai - inter, abs=1e-9)
+    assert diff_ba == pytest.approx(au - inter, abs=1e-9)
+    assert union == pytest.approx(ai + au - inter, abs=1e-9)
+    assert sym == pytest.approx(union - inter, abs=1e-9)
+
+
+def test_boxes_reference_case():
+    inside = wkb.box(-10, -10, 10, 10)
+    box2 = wkb.box(-20, -20, 0, 0)
+    assert AREAS(overlay.difference_convex_clip(inside, box2)) == pytest.approx(300.0)
+    assert AREAS(overlay.union_convex(inside, box2)) == pytest.approx(700.0)
+    assert AREAS(
+        overlay.symmetric_difference_convex(inside, box2)
+    ) == pytest.approx(600.0)
+    # disjoint: difference = identity, intersection = empty
+    far = wkb.box(100, 100, 110, 110)
+    d = overlay.difference_convex_clip(inside, far)
+    assert AREAS(d) == pytest.approx(400.0)
+    assert overlay.intersection_convex_clip(inside, far) is None
+
+
+def test_difference_with_subject_hole():
+    holed = wkb.polygon(
+        [[-5, -5], [5, -5], [5, 5], [-5, 5]],
+        holes=[[[-1, -1], [1, -1], [1, 1], [-1, 1]]],
+    )
+    clip = wkb.box(0, -10, 10, 10)
+    d = overlay.difference_convex_clip(holed, clip)
+    # left half of the square minus left half of the hole
+    assert AREAS(d) == pytest.approx(50.0 - 2.0)
+
+
+def test_multipart_clip_sequential():
+    a = wkb.box(0, 0, 10, 10)
+    mp = {"type": "MultiPolygon", "coordinates": [
+        wkb.box(0, 0, 3, 10)["coordinates"],
+        wkb.box(7, 0, 10, 10)["coordinates"],
+    ]}
+    d = overlay.difference_convex_clip(a, mp)
+    assert AREAS(d) == pytest.approx(40.0)  # middle 4×10 band
+
+
+def test_distributed_overlay_ops(spark):
+    left = spark.createDataFrame(
+        [(0, wkb.dumps(wkb.box(0, 0, 10, 10))),
+         (1, wkb.dumps(wkb.box(20, 20, 30, 30)))],
+        "left_id long, geometry binary",
+    )
+    right = spark.createDataFrame(
+        [(100, wkb.dumps(wkb.box(5, 5, 15, 15)))],
+        "right_id long, geometry binary",
+    )
+    inter = overlay.overlay_join(left, right, "intersection").collect()
+    assert len(inter) == 1  # only the overlapping pair survives
+    diff = overlay.overlay_join(left, right, "difference").collect()
+    assert len(diff) == 2  # disjoint pair keeps its full geometry
+    areas = {r["left_id"]: kernels.geom_area(wkb.loads(bytes(r["geometry"])))
+             for r in diff}
+    assert areas[0] == pytest.approx(75.0)
+    assert areas[1] == pytest.approx(100.0)
+    union = overlay.overlay_join(left, right, "union").collect()
+    ua = {r["left_id"]: kernels.geom_area(wkb.loads(bytes(r["geometry"])))
+          for r in union}
+    assert ua[0] == pytest.approx(175.0)
+    assert ua[1] == pytest.approx(200.0)
+
+
+def test_self_overlay_fold(spark):
+    df = spark.createDataFrame(
+        [(0, wkb.dumps(wkb.box(0, 0, 10, 10))),
+         (1, wkb.dumps(wkb.box(5, 0, 15, 10))),
+         (2, wkb.dumps(wkb.box(8, 0, 20, 10)))],
+        "fid long, geometry binary",
+    )
+    inter = overlay.self_overlay_fold(df, "intersection")
+    assert kernels.geom_area(inter) == pytest.approx(20.0)  # 8..10 × 0..10
+    union = overlay.self_overlay_fold(df, "union")
+    assert kernels.geom_area(union) == pytest.approx(200.0)  # 0..20 × 0..10

@@ -123,3 +123,26 @@ def test_hole_semantics(spark):
     assert not inside_hole[0]
     in_shell = kernels.points_covered_by(np.array([139.2]), np.array([35.2]), rings)
     assert in_shell[0]
+
+
+def test_geocode_gazetteer_broadcast(spark):
+    from spapy_spark.operators import geocode
+
+    docs = spark.createDataFrame(
+        [(0, "visited Seattle yesterday"), (1, "flying to tokyo then home"),
+         (2, "no places here")],
+        "doc_id long, text string",
+    )
+    gaz = spark.createDataFrame(
+        [("seattle", 47.6062, -122.3321), ("tokyo", 35.6762, 139.6503)],
+        "place string, lat double, lon double",
+    )
+    out = geocode.geocode_gazetteer(docs, gaz).collect()
+    got = {r["doc_id"]: (r["gaz_lat"], r["gaz_lon"]) for r in out}
+    assert got[0] == (47.6062, -122.3321)
+    assert got[1] == (35.6762, 139.6503)
+    assert 2 not in got
+    # the join is a broadcast hash join (no shuffle of the doc side)
+    plan = geocode.geocode_gazetteer(docs, gaz)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

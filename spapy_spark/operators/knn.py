@@ -135,11 +135,16 @@ def knn_join_broadcast(
 class SiteGrid:
     """Cell-bucketed site index for ring-expansion kNN (picklable).
 
-    Sites are bucketed at a single resolution; a query expands Chebyshev
-    rings of cells around the point's cell until the best-k distances
-    are provably final: once ``ring_lb(r) > kth_best`` no farther ring
-    can improve the answer (cells are axis-aligned squares, so the
-    lower bound for ring r is ``(r-1) * min(cell_w, cell_h)``).
+    Sites are bucketed at a single resolution; queries expand Chebyshev
+    rings of cells until the best-k distances are provably final: once
+    ``(r-1) · min(cell_w, cell_h) > kth_best`` no farther ring can
+    improve the answer (cells are axis-aligned squares).
+
+    ``query_batch`` is fully vectorized over the point axis: per ring
+    level, each (dy, dx) offset maps every live point to at most one
+    cell, whose site span comes from two ``searchsorted`` calls; the
+    variable-length (point, site) pair lists are built with
+    repeat/arange and folded into a running per-point top-k.
     """
 
     def __init__(self, rows, res: int = 6):
@@ -150,44 +155,96 @@ class SiteGrid:
         cell = cells.latlon_to_cell(sy, sx, res)
         order = np.argsort(cell, kind="stable")
         self.sid, self.sx, self.sy = sid[order], sx[order], sy[order]
-        c = cell[order]
-        uniq, starts = np.unique(c, return_index=True)
-        self.buckets = {
-            int(u): (int(s), int(e))
-            for u, s, e in zip(uniq, starts, np.append(starts[1:], len(c)))
-        }
+        self.cell_sorted = cell[order]
         n = 1 << res
+        self.n = n
         self.cell_w = 360.0 / n
         self.cell_h = 180.0 / n
-        self.max_ring = n  # expansion cap (then everything was seen)
+        self.max_ring = n
 
-    def query(self, px: float, py: float, k: int):
-        """k nearest sites of one point → (site_ids, dists) sorted."""
-        cell = int(cells.latlon_to_cell(np.array([py]), np.array([px]), self.res)[0])
-        best: list[tuple[float, int]] = []
+    def query_batch(self, px: np.ndarray, py: np.ndarray, k: int):
+        """k nearest sites per point → (point_idx, site_id, rank, dist)
+        arrays, rank 1-based, ties broken by (dist, site_id)."""
+        npts = len(px)
+        kk = min(k, len(self.sid))
+        if npts == 0 or kk == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e, np.empty(0, np.float64)
+        ix, iy = cells.latlon_to_ij(py, px, self.res)
+        # running top-k per point: (dist², site_id), +inf padded
+        best_d = np.full((npts, kk), np.inf)
+        best_s = np.full((npts, kk), -1, dtype=np.int64)
+        live = np.arange(npts)
         lb_unit = min(self.cell_w, self.cell_h)
         r = 0
-        while r <= self.max_ring:
-            if len(best) >= k and (r - 1) * lb_unit > best[k - 1][0]:
-                break
-            shell = (
-                cells.ring_shell(cell, r) if r > 0 else np.array([cell], np.int64)
+        while r <= self.max_ring and len(live):
+            offsets = (
+                [(0, 0)] if r == 0 else
+                [(dy, dx) for dy in range(-r, r + 1)
+                 for dx in range(-r, r + 1)
+                 if max(abs(dy), abs(dx)) == r]
             )
-            for c in shell.tolist():
-                span = self.buckets.get(int(c))
-                if span is None:
+            pr_idx: list[np.ndarray] = []
+            pr_site: list[np.ndarray] = []
+            for dy, dx in offsets:
+                ny = iy[live] + dy
+                ok = (ny >= 0) & (ny < self.n)
+                if not ok.any():
                     continue
-                s, e = span
-                d = np.sqrt(
-                    (self.sx[s:e] - px) ** 2 + (self.sy[s:e] - py) ** 2
+                sub = live[ok]
+                nx = np.mod(ix[sub] + dx, self.n)
+                cc = cells.ij_to_cell(nx, ny[ok], self.res)
+                lo = np.searchsorted(self.cell_sorted, cc, side="left")
+                hi = np.searchsorted(self.cell_sorted, cc, side="right")
+                cnt = hi - lo
+                nz = cnt > 0
+                if not nz.any():
+                    continue
+                lo, cnt, subnz = lo[nz], cnt[nz], sub[nz]
+                # variable-length span gather: repeat + cumsum arange
+                reps = np.repeat(subnz, cnt)
+                starts = np.repeat(lo, cnt)
+                within = np.arange(len(reps)) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
                 )
-                for di, ii in zip(d, range(s, e)):
-                    best.append((float(di), int(self.sid[ii])))
-            best.sort()
-            best = best[: max(k, len(best) if len(best) < k else k)]
+                pr_idx.append(reps)
+                pr_site.append(starts + within)
+            if pr_idx:
+                pi = np.concatenate(pr_idx)
+                si = np.concatenate(pr_site)
+                d2 = (px[pi] - self.sx[si]) ** 2 + (py[pi] - self.sy[si]) ** 2
+                # fold pairs into the running top-k: concat + partial sort
+                allp = np.concatenate([pi, np.repeat(np.arange(npts), kk)])
+                alld = np.concatenate([d2, best_d.ravel()])
+                alls = np.concatenate([self.sid[si], best_s.ravel()])
+                order = np.lexsort((alls, alld, allp))
+                allp, alld, alls = allp[order], alld[order], alls[order]
+                # first kk entries per point (groups are contiguous)
+                grp_start = np.searchsorted(allp, np.arange(npts), "left")
+                take = (grp_start[:, None] + np.arange(kk)[None, :])
+                grp_end = np.append(grp_start[1:], len(allp))
+                valid = take < grp_end[:, None]
+                take = np.minimum(take, len(allp) - 1)
+                # ring cells are disjoint across rounds and live-point
+                # filtering only shrinks the set, so a site enters the
+                # buffer at most once — no dedup needed
+                best_d = np.where(valid, alld[take], np.inf)
+                best_s = np.where(valid, alls[take], -1)
+            kth = best_d[:, kk - 1]
+            done = (kth < np.inf) & (
+                ((r) * lb_unit) ** 2 > kth
+            )
+            live = np.arange(npts)[~done]
             r += 1
-        top = best[:k]
-        return [b[1] for b in top], [b[0] for b in top]
+        ranks = np.tile(np.arange(1, kk + 1, dtype=np.int64), npts)
+        keep = best_s.ravel() >= 0
+        pidx = np.repeat(np.arange(npts), kk)
+        return (
+            pidx[keep],
+            best_s.ravel()[keep],
+            ranks[keep],
+            np.sqrt(best_d.ravel()[keep]),
+        )
 
 
 def knn_join_cells(
@@ -219,25 +276,17 @@ def knn_join_cells(
     )
 
     def probe(batches):
-        grid = SiteGrid(*bc.value[:1], res=bc.value[1])
+        grid = SiteGrid(bc.value[0], res=bc.value[1])
         for pdf in batches:
             px = pdf[x].to_numpy(np.float64)
             py = pdf[y].to_numpy(np.float64)
-            recs = []
-            for i in range(len(pdf)):
-                ids, ds = grid.query(float(px[i]), float(py[i]), k)
-                for rk, (si, di) in enumerate(zip(ids, ds), 1):
-                    recs.append((i, si, rk, di))
-            if not recs:
+            pidx, sids, ranks, dists = grid.query_batch(px, py, k)
+            if len(pidx) == 0:
                 continue
-            arr = np.array(recs, dtype=object)
-            out = pdf.iloc[[int(t[0]) for t in recs]][point_cols].reset_index(
-                drop=True
-            )
-            out["site_id"] = np.array([t[1] for t in recs], np.int64)
-            out["rank"] = np.array([t[2] for t in recs], np.int64)
-            out["dist"] = np.array([t[3] for t in recs], np.float64)
-            del arr
+            out = pdf.iloc[pidx][point_cols].reset_index(drop=True)
+            out["site_id"] = sids
+            out["rank"] = ranks
+            out["dist"] = dists
             yield out
 
     return src.mapInPandas(probe, schema=schema)

@@ -375,44 +375,38 @@ def sample_points(
     t = tiles.where(F.col("band") == band)
     if raster_id is not None:
         t = t.where(F.col("raster_id") == raster_id)
-    j = pts.join(
-        t.select("tile_y", "tile_x", "height", "width", "nodata", "pixels"),
-        ["tile_y", "tile_x"],
-    )
+    t = t.select("tile_y", "tile_x", "height", "width", "nodata", "pixels")
     fields = [f for f in points.schema.fields if f.name in point_cols]
     schema = StructType(fields + [StructField(out, DoubleType(), False)])
 
-    def gather(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vals = np.empty(len(pdf), dtype=np.float64)
-            ok = np.zeros(len(pdf), dtype=bool)
-            # group rows by tile buffer to decode each buffer once
-            codes, uniq = pd.factorize(pdf["pixels"], use_na_sentinel=False)
-            for gi, buf in enumerate(uniq):
-                m = codes == gi
-                sub = pdf[m]
-                h = int(sub["height"].iloc[0])
-                w = int(sub["width"].iloc[0])
-                nd = float(sub["nodata"].iloc[0])
-                a = _buf(buf, h, w)
-                ly = sub["__py"].to_numpy(np.int64) - sub["tile_y"].to_numpy(
-                    np.int64
-                ) * a.shape[0]
-                lx = sub["__px"].to_numpy(np.int64) - sub["tile_x"].to_numpy(
-                    np.int64
-                ) * a.shape[1]
-                inb = (ly >= 0) & (ly < h) & (lx >= 0) & (lx < w)
-                v = np.full(len(sub), nd)
-                v[inb] = a[ly[inb], lx[inb]].astype(np.float64)
-                vals[m] = v
-                ok[m] = inb & ~np.equal(v, np.float64(np.float32(nd)))
-            res = pdf.loc[ok, point_cols].reset_index(drop=True)
-            res[out] = vals[ok]
-            yield res
+    # COGROUP, not join: a join would replicate the (large) pixel
+    # buffer onto every point row — at 150k points × 16 KB tiles that
+    # is GBs of duplicated payload.  Cogrouping shuffles points by the
+    # integer tile key (needed anyway) and ships each buffer exactly
+    # once per group.
+    def gather(key, pts_pdf: pd.DataFrame, tile_pdf: pd.DataFrame):
+        if len(pts_pdf) == 0 or len(tile_pdf) == 0:
+            return pd.DataFrame(columns=point_cols + [out])
+        trow = tile_pdf.iloc[0]
+        h, w = int(trow["height"]), int(trow["width"])
+        nd = float(trow["nodata"])
+        a = _buf(trow["pixels"], h, w)
+        ty, tx = int(key[0]), int(key[1])
+        ly = pts_pdf["__py"].to_numpy(np.int64) - np.int64(ty) * tile
+        lx = pts_pdf["__px"].to_numpy(np.int64) - np.int64(tx) * tile
+        inb = (ly >= 0) & (ly < h) & (lx >= 0) & (lx < w)
+        v = np.full(len(pts_pdf), nd)
+        v[inb] = a[ly[inb], lx[inb]].astype(np.float64)
+        ok = inb & ~np.equal(v, np.float64(np.float32(nd)))
+        res = pts_pdf.loc[ok, point_cols].reset_index(drop=True)
+        res[out] = v[ok]
+        return res
 
-    return j.mapInPandas(gather, schema=schema)
+    return (
+        pts.groupBy("tile_y", "tile_x")
+        .cogroup(t.groupBy("tile_y", "tile_x"))
+        .applyInPandas(gather, schema=schema)
+    )
 
 
 def resample_nearest(

@@ -1,0 +1,44 @@
+"""Ring-expansion kNN must agree exactly with the brute-force
+broadcast path (same tie-break) on clustered + uniform points."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spapy_spark.operators import knn
+from spapy_spark.operators.knn import SiteGrid
+from spapy_spark.sources import synth
+
+
+def test_sitegrid_batch_matches_bruteforce():
+    rows = [(r[0], r[2], r[3]) for r in synth._site_rows(500)]
+    grid = SiteGrid(rows, res=5)
+    ids = np.arange(3000)
+    _, lat, lon = synth.doc_coords(ids)
+    px, py = lon[:400], lat[:400]
+    pi, si, rk, d = grid.query_batch(px, py, k=3)
+    sid = np.array([r[0] for r in rows])
+    sx = np.array([r[1] for r in rows])
+    sy = np.array([r[2] for r in rows])
+    for p in range(400):
+        d2 = (px[p] - sx) ** 2 + (py[p] - sy) ** 2
+        order = np.lexsort((sid, d2))[:3]
+        mine = si[pi == p]
+        assert mine.tolist() == sid[order].tolist(), f"point {p}"
+        md = d[pi == p]
+        np.testing.assert_allclose(md, np.sqrt(d2[order]), rtol=1e-12)
+
+
+def test_knn_cells_matches_broadcast(spark):
+    sites = synth.sites(spark, 300)
+    ids = np.arange(1000)
+    _, lat, lon = synth.doc_coords(ids)
+    pts = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in ids[:500]],
+        "point_id long, lat double, lon double",
+    )
+    a = knn.knn_join_broadcast(pts, sites, k=2, point_cols=["point_id"])
+    b = knn.knn_join_cells(pts, sites, k=2, res=5, point_cols=["point_id"])
+    ra = sorted((r["point_id"], r["rank"], r["site_id"]) for r in a.collect())
+    rb = sorted((r["point_id"], r["rank"], r["site_id"]) for r in b.collect())
+    assert ra == rb and len(ra) == 1000  # 500 points × k=2

@@ -1,0 +1,79 @@
+"""Regenerate docs/PLANS.md from live explain() output."""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spapy_spark.operators import geocode, pip  # noqa: E402
+from spapy_spark.session import get_spark  # noqa: E402
+from spapy_spark.sources import synth  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    spark = get_spark("plans", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    sections = []
+
+    def cap(title, df, note):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        sections.append(f"## {title}\n\n{note}\n\n```\n{plan[:2600]}\n```\n")
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    geo = geocode.geocode_coords(docs.where(F.col("lang") == "en")).where(
+        F.col("lat").isNotNull()
+    ).select("doc_id", "lat", "lon")
+    cap(
+        "Geocode stage (JVM-only, pushdown)", geo,
+        "The whole geocode stage is Catalyst codegen: the `lang='en'` "
+        "filter is PUSHED to the parquet scan (`PushedFilters`), "
+        "ReadSchema is pruned to the referenced columns, and there is "
+        "**no Python node**.",
+    )
+    pts = geo.withColumnRenamed("doc_id", "point_id")
+    hits = pip.pip_join_broadcast(pts, synth.zones(spark),
+                                  point_cols=["point_id"])
+    cap(
+        "Broadcast PIP probe (mapInArrow, zero shuffle)", hits,
+        "The flagship join: zones broadcast once, probed from "
+        "`MapInArrow` directly over the pruned scan — a single narrow "
+        "stage, no Exchange. Payload columns never materialize as "
+        "Python objects; the hit gather is an Arrow C++ `take`.",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    cj = pip.pip_join_cells(pts.limit(10000), synth.zones(spark), res=7,
+                            point_cols=["point_id"], salt=4)
+    cap(
+        "Cell-prefix hash join, salted (both sides large)", cj,
+        "The big-big path: zones explode to covering cells, points emit "
+        "ancestor cells per zone res level, Catalyst hash-partitions "
+        "BOTH sides on `(cell, __s)` — the salt spreads Zipf-hot city "
+        "cells; AQE skew-join remains as backstop.",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    agg = hits.groupBy("zone_id").agg(F.count(F.lit(1)).alias("n"))
+    agg.collect()
+    cap(
+        "Tile-count aggregate (partial+final, AQE coalesce)", agg,
+        "`partial_count` combines map-side before the exchange; AQE "
+        "coalesces the shuffle read at runtime (adaptive shuffle "
+        "sizing, north rule).",
+    )
+    hdr = (
+        "# Physical plans — the 100 TB checklist, evidenced\n\n"
+        "Captured from live `explain` output (regenerate: "
+        "`python tools/gen_plans_doc.py`).\n"
+        "Each plan demonstrates one scale property the brief requires.\n"
+    )
+    with open(os.path.join(REPO, "docs", "PLANS.md"), "w") as f:
+        f.write(hdr + "\n".join(sections))
+    print("wrote docs/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -421,6 +421,22 @@ def clip_ring_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray |
     return np.vstack([out, out[:1]])
 
 
+def ring_is_convex(ring: np.ndarray) -> bool:
+    """True when all cross products around the ring share a sign
+    (collinear vertices allowed)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if len(r) < 3:
+        return True
+    nxt = np.roll(r, -1, axis=0)
+    nx2 = np.roll(r, -2, axis=0)
+    cross = (nxt[:, 0] - r[:, 0]) * (nx2[:, 1] - nxt[:, 1]) - (
+        nxt[:, 1] - r[:, 1]
+    ) * (nx2[:, 0] - nxt[:, 0])
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
 def clip_ring_halfplane(
     subject: np.ndarray, a: np.ndarray, b: np.ndarray, keep_left: bool = True
 ) -> np.ndarray | None:

@@ -151,11 +151,35 @@ def symmetric_difference_convex(g1: dict, g2: dict) -> dict | None:
     return {"type": "MultiPolygon", "coordinates": parts}
 
 
+def _rings_convex(g: dict) -> bool:
+    for rings in wkb.polygons_of(g):
+        for r in rings:
+            if not kernels.ring_is_convex(r):
+                return False
+    return True
+
+
+def overlay_geom(g1: dict, g2: dict, op: str) -> dict | None:
+    """Pairwise overlay kernel with strategy dispatch: the cheap exact
+    Sutherland–Hodgman/wedge paths when the relevant side is convex,
+    else the general Greiner–Hormann composition
+    (geometry/clip2.boolean_op) for arbitrary simple rings."""
+    from ..geometry import clip2
+
+    if op == "intersection" and _rings_convex(g2):
+        return intersection_convex_clip(g1, g2)
+    if op == "difference" and _rings_convex(g2):
+        return difference_convex_clip(g1, g2)
+    if op == "union" and _rings_convex(g1) and _rings_convex(g2):
+        return union_convex(g1, g2)
+    if op == "symmetric_difference" and _rings_convex(g1) and _rings_convex(g2):
+        return symmetric_difference_convex(g1, g2)
+    return clip2.boolean_op(g1, g2, op)
+
+
 _OVERLAY_KERNELS = {
-    "intersection": intersection_convex_clip,
-    "difference": difference_convex_clip,
-    "union": union_convex,
-    "symmetric_difference": symmetric_difference_convex,
+    op: (lambda op_: lambda g1, g2: overlay_geom(g1, g2, op_))(op)
+    for op in ("intersection", "difference", "union", "symmetric_difference")
 }
 
 

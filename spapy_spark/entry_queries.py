@@ -449,6 +449,41 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    return text_ops.lang_ngram(docs).orderBy("doc_id")
+
+
+def _lang_ngram_oracle_sql() -> str:
+    from .operators.text import _NGRAM_PROFILES
+
+    langs = sorted(_NGRAM_PROFILES)
+    score_cols = []
+    for lang in langs:
+        lst = ",".join(f"'{t}'" for t in _NGRAM_PROFILES[lang])
+        score_cols.append(
+            f"CAST(sum(CASE WHEN tri IN ({lst}) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS s_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return (
+        "WITH tri AS (SELECT doc_id,"
+        " substring(lower(text), i, 3) AS tri"
+        " FROM documents,"
+        " unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)),"
+        f" g AS (SELECT doc_id, {', '.join(score_cols)} FROM tri"
+        " GROUP BY doc_id)"
+        f" SELECT doc_id, {', '.join('s_' + l for l in langs)},"
+        f" {case} AS lang_pred FROM g ORDER BY doc_id"
+    )
+
+
 _SESSIONS_SQL = (
     "WITH e AS (SELECT user_id, event_id, ts,"
     " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
@@ -598,6 +633,7 @@ def build_queries() -> dict:
         "ann_cosine": q_ann_cosine,
         "raster_sample": q_raster_sample,
         "events_sessions": q_events_sessions,
+        "lang_ngram": q_lang_ngram,
     }
 
 
@@ -723,6 +759,7 @@ def build_oracle_sql() -> dict:
         "ann_cosine": _ann_oracle_sql(),
         "raster_sample": _raster_sample_oracle_sql(),
         "events_sessions": _SESSIONS_SQL,
+        "lang_ngram": _lang_ngram_oracle_sql(),
     }
 
 

@@ -174,6 +174,54 @@ def jaccard_pairs(
     ).select("id_a", "id_b", "inter", "union_n")
 
 
+def embedding_near_dup_pairs(
+    vectors,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+):
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) via hyperplane-LSH bucketing + exact in-bucket re-rank.
+
+    Near-identical vectors share the sign bucket with probability
+    (1 − θ/π)^n_planes ≈ 1 for tiny angles θ, so the candidate join is
+    a plain equi-join on the bucket key; exact cosine verifies.  Scale
+    path of the dedup ladder's embedding rung (brute force = ann.
+    cosine_topk at test scale).
+    """
+    from pyspark.sql import functions as F
+
+    from .ann import _norms, add_lsh_bucket
+
+    b = add_lsh_bucket(vectors, dim, n_planes, id_col, vec_col, seed=seed)
+    left = b.select(F.col("bucket"), F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("__va"))
+    right = b.select(F.col("bucket"), F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("__vb"))
+    cand = left.join(right, "bucket").where(F.col("id_a") < F.col("id_b"))
+    dots = cand.select(
+        "id_a", "id_b",
+        F.expr(
+            "aggregate(zip_with(__va, __vb,"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0D, (acc, v) -> acc + v)"
+        ).alias("dot"),
+    )
+    na = _norms(vectors, id_col, vec_col).select(
+        F.col(id_col).alias("id_a"), F.col("norm").alias("na"))
+    nb = _norms(vectors, id_col, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col("norm").alias("nb"))
+    out = (
+        dots.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+    )
+    return out.select("id_a", "id_b", "cosine")
+
+
 def simhash(
     df: DataFrame,
     bits: int = 16,

@@ -75,6 +75,56 @@ def lang_guess(
     )
 
 
+_NGRAM_PROFILES = {
+    # distinctive character trigrams per language (public linguistics
+    # commonplace: frequency-profile n-gram language ID)
+    "de": ("der", "ein", "ich", "sch", "und", "die", "cht", "gen"),
+    "en": ("the", "and", "ing", "ion", "ent", "her", "for", "tha"),
+    "es": ("que", "ión", "los", "ado", "nte", "era", "com", "par"),
+    "fr": ("les", "ent", "une", "our", "ait", "eur", "est", "ans"),
+}
+
+
+def lang_ngram(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-trigram language ID: slide a 3-char window over the
+    lowercased text, count hits against each language's trigram
+    profile, argmax with deterministic (score desc, language asc)
+    tie-break.  Pure built-in SQL — trigram explode via sequence +
+    substring, integer scores only.
+    """
+    tri = df.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - 2, 1)),"
+                f" i -> substring(lower({text_col}), i, 3))"
+            )
+        ).alias("tri"),
+    )
+    aggs = []
+    for lang in sorted(_NGRAM_PROFILES):
+        lst = ",".join(f"'{t}'" for t in _NGRAM_PROFILES[lang])
+        aggs.append(
+            F.sum(
+                F.expr(f"CASE WHEN tri IN ({lst}) THEN 1 ELSE 0 END")
+            ).alias(f"s_{lang}")
+        )
+    g = tri.groupBy(id_col).agg(*aggs)
+    langs = sorted(_NGRAM_PROFILES)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pick = None
+    for lang in reversed(langs):  # earlier language wins ties
+        cond = F.col(f"s_{lang}") == best
+        pick = F.when(cond, lang) if pick is None else F.when(
+            cond, lang
+        ).otherwise(pick)
+    return g.select(
+        id_col, *[f"s_{l}" for l in langs], pick.alias("lang_pred")
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     out: str = "fp",

@@ -122,3 +122,39 @@ def test_text_ops(spark, docs):
     assert lg[0] == "en"
     sha = text.text_sha256(docs).collect()
     assert len({r["text_sha"] for r in sha if r["doc_id"] < 20}) == 1
+
+
+def test_embedding_near_dup_pairs(spark):
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(30, 16))
+    vecs = []
+    # 30 base vectors, each with one near-duplicate (tiny perturbation)
+    for i, b in enumerate(base):
+        vecs.append(b)
+        vecs.append(b + 0.01 * rng.normal(size=16))
+    arr = np.array(vecs, dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in arr[i]]) for i in range(len(arr))],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.embedding_near_dup_pairs(df, dim=16, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # every planted near-dup pair (2i, 2i+1) must be found
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    assert planted <= got
+    # spurious high-cosine pairs among random gaussians are rare
+    assert len(got - planted) < 5
+    for r in out:
+        assert r["cosine"] >= 0.99
+
+
+def test_lang_ngram(spark):
+    docs = spark.createDataFrame(
+        [(0, "the thing and the other thing for them"),
+         (1, "der ich sch und der die gen ich"),
+         (2, "les ent une our est les ait eur")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in text.lang_ngram(docs).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr"

@@ -489,7 +489,7 @@ _SESSIONS_SQL = (
     " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
     " FROM events),"
     " s AS (SELECT user_id, event_id, ts,"
-    " CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800"
+    " CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) > 1800000000"
     " THEN 1 ELSE 0 END AS new_s FROM e),"
     " g AS (SELECT user_id, event_id, ts,"
     " SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"

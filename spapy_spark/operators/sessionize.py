@@ -29,18 +29,21 @@ def sessionize(
     """
     w = Window.partitionBy(user).orderBy(ts, event_id)
     prev = F.lag(F.col(ts)).over(w)
+    # calendar-based diff (timestampdiff), NOT unix_timestamp: epoch
+    # conversion is session-timezone dependent and would shift gaps
+    # across DST transitions under a non-UTC driver session; DuckDB's
+    # date_diff('second', …) is calendar-based too — bit-identical.
+    events = events.withColumn("__prev", prev)
+    gap = F.expr(f"timestampdiff(MICROSECOND, __prev, {ts})")
     new_s = F.when(
-        prev.isNull()
-        | ((F.unix_timestamp(F.col(ts).cast("timestamp"))
-            - F.unix_timestamp(prev.cast("timestamp"))) > gap_seconds),
-        1,
+        F.col("__prev").isNull() | (gap > gap_seconds * 1_000_000), 1
     ).otherwise(0)
     run = Window.partitionBy(user).orderBy(ts, event_id).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return events.withColumn("__new", new_s).withColumn(
         "session_seq", F.sum("__new").over(run).cast("long")
-    ).drop("__new")
+    ).drop("__new", "__prev")
 
 
 def session_stats(

@@ -106,6 +106,8 @@ def main():
                 "ann_cosine",
                 "raster_sample",
                 "text_stats",
+                "lang_ngram",
+                "events_sessions",
                 "tpch_q1",
                 "events_hourly",
             )

@@ -84,3 +84,38 @@ def test_polygonize(spark):
     g = wkb.loads(bytes(by_val[7.0]["geometry"]))
     # 10 px wide × 5 px tall at 0.01°/px
     assert kernels.geom_area(g) == pytest.approx(0.1 * 0.05, rel=1e-9)
+
+
+def test_resample_bilinear_matches_whole_raster(spark, smooth_tiles):
+    s = 2
+    out = raster.resample_bilinear(
+        smooth_tiles, scale=s, grid=synth.GRID, tile=synth.TILE
+    ).collect()
+    H = synth.GRID * synth.TILE
+    got = np.zeros((H * s, H * s), dtype=np.float32)
+    for r in out:
+        a = np.frombuffer(bytes(r["pixels"]), dtype="<f4").reshape(
+            r["height"], r["width"]
+        )
+        ts = synth.TILE * s
+        got[r["tile_y"] * ts:(r["tile_y"] + 1) * ts,
+            r["tile_x"] * ts:(r["tile_x"] + 1) * ts] = a
+    # whole-raster oracle: same bilinear on the edge-clamp padded array
+    gy, gx = np.mgrid[0:H, 0:H]
+    arr = synth.dem_value(gx.astype(np.float64), gy.astype(np.float64)).astype(
+        np.float64
+    )
+    p = np.pad(arr, 1, mode="edge")
+    oy = (np.arange(H * s) + 0.5) / s - 0.5 + 1.0
+    ox = (np.arange(H * s) + 0.5) / s - 0.5 + 1.0
+    y0 = np.floor(oy).astype(np.int64)
+    x0 = np.floor(ox).astype(np.int64)
+    fy = (oy - y0)[:, None]
+    fx = (ox - x0)[None, :]
+    want = (
+        p[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + p[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+        + p[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+        + p[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+    ).astype(np.float32)
+    np.testing.assert_array_equal(got, want)

@@ -55,17 +55,26 @@ def _topk_block(
     sy: np.ndarray,
     sid: np.ndarray,
     k: int,
+    metric: str = "planar",
 ):
     """Vectorized brute-force k nearest of each point among (sx, sy).
 
     Returns (point_row_idx, site_id, rank, dist) arrays; ties broken by
-    (dist, site_id).  Distance is squared planar — monotone in true
-    distance, so ranks match; ``dist`` returned is the squared value's
-    sqrt for human-readable output.
+    (dist, site_id).  metric='planar' ranks by squared euclidean in
+    degree space (dist output = sqrt); metric='haversine' ranks by
+    great-circle meters (kernels.haversine_m) — the geodesic-correct
+    variant for geographic coordinates.
     """
+    from ..geometry.kernels import haversine_m
+
     n, s = len(px), len(sx)
     kk = min(k, s)
-    d2 = (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
+    if metric == "haversine":
+        d2 = haversine_m(
+            py[:, None], px[:, None], sy[None, :], sx[None, :]
+        )
+    else:
+        d2 = (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
     if kk < s:
         part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
     else:
@@ -79,7 +88,8 @@ def _topk_block(
     out_sid = sid[ordered].ravel()
     out_d2 = np.take_along_axis(d2, ordered, axis=1).ravel()
     ranks = np.tile(np.arange(1, kk + 1, dtype=np.int64), n)
-    return rows, out_sid, ranks, np.sqrt(out_d2)
+    dist = out_d2 if metric == "haversine" else np.sqrt(out_d2)
+    return rows, out_sid, ranks, dist
 
 
 def knn_join_broadcast(
@@ -92,6 +102,7 @@ def knn_join_broadcast(
     site_id: str = "site_id",
     sx: str = "x",
     sy: str = "y",
+    metric: str = "planar",
 ) -> DataFrame:
     """Broadcast kNN: each point gets its ``k`` nearest sites.
 
@@ -117,7 +128,7 @@ def knn_join_broadcast(
                 continue
             px = pdf[x].to_numpy(np.float64)
             py = pdf[y].to_numpy(np.float64)
-            rows_, out_sid, ranks, dist = _topk_block(px, py, sxa, sya, sid, k)
+            rows_, out_sid, ranks, dist = _topk_block(px, py, sxa, sya, sid, k, metric)
             out = pdf.iloc[rows_][point_cols].reset_index(drop=True)
             out["site_id"] = out_sid
             out["rank"] = ranks

@@ -331,6 +331,35 @@ def pip_count_by_zone(
     )
 
 
+def auto_salt(
+    points: DataFrame,
+    res: int,
+    x: str = "lon",
+    y: str = "lat",
+    sample_frac: float = 0.05,
+    skew_threshold: float = 4.0,
+    max_salt: int = 32,
+) -> int:
+    """Pick the salt factor from a sampled cell histogram (SURVEY §7.3:
+    web-data cell histograms are Zipfian; the hot-cities cell dwarfs
+    the mean).  salt = hottest-cell share / (skew_threshold × mean
+    share), clamped to [1, max_salt] — 1 for uniform data, growing
+    with the hot-cell ratio so no reducer sees more than ~threshold×
+    the average key load."""
+    sampled = points.sample(fraction=sample_frac, seed=7).where(
+        F.col(x).isNotNull() & F.col(y).isNotNull()
+    )
+    enc = cell_encode(sampled, res, y=y, x=x)
+    hist = enc.groupBy("cell").count()
+    row = hist.agg(
+        F.max("count").alias("mx"), F.avg("count").alias("avg")
+    ).collect()[0]
+    if row["mx"] is None or not row["avg"]:
+        return 1
+    ratio = float(row["mx"]) / float(row["avg"])
+    return int(np.clip(np.ceil(ratio / skew_threshold), 1, max_salt))
+
+
 # ---------------------------------------------------------------------------
 # Distributed cell-join path (both sides large)
 # ---------------------------------------------------------------------------
@@ -427,31 +456,40 @@ def pip_join_cells(
     )
 
     def exact(batches):
+        # mapInArrow: payload columns stay in Arrow buffers; zone WKB
+        # decodes once per distinct geometry per worker (cache)
+        import pyarrow as pa
+
         cache: dict[bytes, list] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            px = pdf[x].to_numpy(np.float64)
-            py = pdf[y].to_numpy(np.float64)
-            hit = np.zeros(len(pdf), dtype=bool)
-            # group candidate rows by zone geometry (few zones per batch)
-            codes, uniq = pd.factorize(pdf[geometry], use_na_sentinel=False)
-            for gi, buf in enumerate(uniq):
-                key = bytes(buf)
+            px = np.ascontiguousarray(
+                batch.column(x).to_numpy(zero_copy_only=False), np.float64)
+            py = np.ascontiguousarray(
+                batch.column(y).to_numpy(zero_copy_only=False), np.float64)
+            genc = pa.compute.dictionary_encode(batch.column(geometry))
+            codes = genc.indices.to_numpy(zero_copy_only=False)
+            hit = np.zeros(batch.num_rows, dtype=bool)
+            for gi, buf in enumerate(genc.dictionary):
+                key = buf.as_py()
                 parts = cache.get(key)
                 if parts is None:
                     parts = list(wkb.polygons_of(wkb.loads(key)))
+                    if len(cache) > 4096:
+                        cache.clear()
                     cache[key] = parts
                 m = codes == gi
                 sub = np.zeros(int(m.sum()), dtype=bool)
                 for rings in parts:
                     sub |= refine(px[m], py[m], rings)
                 hit[m] = sub
-            out = pdf.loc[hit, point_cols + [zone_id]].reset_index(drop=True)
-            out = out.rename(columns={zone_id: "zone_id"})
-            yield out
+            idx = pa.array(np.nonzero(hit)[0])
+            cols = [batch.column(c).take(idx) for c in point_cols]
+            cols.append(batch.column(zone_id).take(idx).cast(pa.int64()))
+            yield pa.RecordBatch.from_arrays(cols, point_cols + ["zone_id"])
 
-    return joined.mapInPandas(exact, schema=schema)
+    return joined.mapInArrow(exact, schema=schema)
 
 
 def _cell_encode_udf(res: int):

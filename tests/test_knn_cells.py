@@ -42,3 +42,27 @@ def test_knn_cells_matches_broadcast(spark):
     ra = sorted((r["point_id"], r["rank"], r["site_id"]) for r in a.collect())
     rb = sorted((r["point_id"], r["rank"], r["site_id"]) for r in b.collect())
     assert ra == rb and len(ra) == 1000  # 500 points × k=2
+
+
+def test_knn_haversine_metric(spark):
+    """Geodesic ranking differs from planar near the poles: at 80°N a
+    1° lon offset is ~6x shorter on the sphere than 1° lat."""
+    from spapy_spark.geometry.kernels import haversine_m
+
+    sites = spark.createDataFrame(
+        [(1, 1.0, 80.0), (2, 0.0, 79.1)],  # (id, lon, lat)
+        "site_id long, x double, y double",
+    )
+    pts = spark.createDataFrame([(0, 80.0, 0.0)],
+                                "point_id long, lat double, lon double")
+    planar = knn.knn_join_broadcast(pts, sites, k=1,
+                                    point_cols=["point_id"]).collect()
+    hav = knn.knn_join_broadcast(pts, sites, k=1, point_cols=["point_id"],
+                                 metric="haversine").collect()
+    # planar degrees: site2 at dist 0.9 beats site1 at dist 1.0
+    assert planar[0]["site_id"] == 2
+    # geodesic: 1° lon at 80°N ≈ 19 km, 0.9° lat ≈ 100 km → site1 wins
+    assert hav[0]["site_id"] == 1
+    d = float(haversine_m(np.array([80.0]), np.array([0.0]),
+                          np.array([80.0]), np.array([1.0]))[0])
+    assert hav[0]["dist"] == pytest.approx(d, rel=1e-12)

@@ -146,3 +146,30 @@ def test_geocode_gazetteer_broadcast(spark):
     plan = geocode.geocode_gazetteer(docs, gaz)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_auto_salt_detects_skew(spark):
+    import numpy as np
+    from spapy_spark.operators.pip import auto_salt
+    from spapy_spark.sources.synth import u01
+
+    ids = np.arange(20000)
+    # heavily skewed: 70% of points in one tiny hot spot
+    hot = u01(ids, 11) < 0.7
+    lat = np.where(hot, 47.6 + u01(ids, 12) * 0.01,
+                   -60 + u01(ids, 13) * 120.0)
+    lon = np.where(hot, -122.3 + u01(ids, 14) * 0.01,
+                   -180 + u01(ids, 15) * 360.0)
+    skewed = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in ids],
+        "point_id long, lat double, lon double",
+    )
+    s = auto_salt(skewed, res=6, sample_frac=0.5)
+    assert s > 1  # hot cell detected
+    # uniform points → no salting
+    uni = spark.createDataFrame(
+        [(int(i), float(-60 + u01(ids, 16)[i] * 120),
+          float(-180 + u01(ids, 17)[i] * 360)) for i in ids[:5000]],
+        "point_id long, lat double, lon double",
+    )
+    assert auto_salt(uni, res=3, sample_frac=0.5) <= 2

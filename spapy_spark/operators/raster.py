@@ -602,6 +602,232 @@ def polygonize_tiles(
     return tiles.mapInPandas(run, schema=out_schema)
 
 
+def polygonize_dissolved(
+    tiles: DataFrame, geotransform: tuple, tile: int,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cross-tile polygonize: per-tile connected components dissolved
+    across tile borders (the v2 refinement of :func:`polygonize_tiles`;
+    reference gdal.Polygonize operates on the whole raster,
+    /root/reference/SpaRasters.py:827-882).
+
+    Plan: per-tile components with globally-unique labels + their
+    border-pixel runs → equivalence edges from adjacent border pixels
+    with equal values (one self-join on the shared border key) →
+    iterative min-label propagation over the equivalence graph
+    (driver-looped joins, AQE-sized; converges in O(diameter) rounds)
+    → per-component aggregate (value, n_pixels, bbox geometry union).
+    """
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from ..geometry import wkb as _wkb
+
+    x0, pw, _, y0, _, ph = geotransform
+    spark = tiles.sparkSession
+
+    comp_schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("label", LongType(), False),
+        StructField("value", DoubleType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("minx", LongType(), False),
+        StructField("miny", LongType(), False),
+        StructField("maxx", LongType(), False),
+        StructField("maxy", LongType(), False),
+    ])
+    # border runs: (raster, band, side-key, global pixel pos, value, label)
+    edge_schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("bkey", LongType(), False),
+        StructField("pos", LongType(), False),
+        StructField("value", DoubleType(), False),
+        StructField("label", LongType(), False),
+    ])
+
+    def _components(a: np.ndarray, nodata: float):
+        h, w = a.shape
+        labels = np.full((h, w), -1, dtype=np.int64)
+        nxt = 0
+        for sy in range(h):
+            for sx in range(w):
+                if labels[sy, sx] != -1 or a[sy, sx] == np.float32(nodata):
+                    continue
+                v = a[sy, sx]
+                stack = [(sy, sx)]
+                labels[sy, sx] = nxt
+                while stack:
+                    cy, cx = stack.pop()
+                    for ny, nx_ in ((cy-1, cx), (cy+1, cx), (cy, cx-1),
+                                    (cy, cx+1)):
+                        if (0 <= ny < h and 0 <= nx_ < w
+                                and labels[ny, nx_] == -1
+                                and a[ny, nx_] == v):
+                            labels[ny, nx_] = nxt
+                            stack.append((ny, nx_))
+                nxt += 1
+        return labels, nxt
+
+    def emit(batches):
+        for pdf in batches:
+            crows, erows = [], []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                labels, n = _components(a, r.nodata)
+                gx0, gy0 = r.tile_x * tile, r.tile_y * tile
+                base = ((r.tile_y * 100_000 + r.tile_x) << 24)
+                for lab in range(n):
+                    m = labels == lab
+                    ys, xs = np.nonzero(m)
+                    crows.append((
+                        r.raster_id, r.band, base + lab,
+                        float(a[ys[0], xs[0]]), int(m.sum()),
+                        int(gx0 + xs.min()), int(gy0 + ys.min()),
+                        int(gx0 + xs.max()), int(gy0 + ys.max()),
+                    ))
+                # border runs on all 4 sides; bkey identifies a shared
+                # border line: vertical x-boundary at X → 2*X, horizontal
+                # y-boundary at Y → 2*Y+1 (disjoint keyspaces)
+                h, w = a.shape
+                for side, ky, kx, posa in (
+                    ("t", 0, None, None), ("b", h - 1, None, None),
+                    ("l", None, 0, None), ("r", None, w - 1, None),
+                ):
+                    if ky is not None:
+                        sel = labels[ky, :]
+                        gy = gy0 + ky
+                        boundary = gy if side == "t" else gy + 1
+                        for xx in np.nonzero(sel >= 0)[0]:
+                            erows.append((
+                                r.raster_id, r.band,
+                                2 * int(boundary) + 1, int(gx0 + xx),
+                                float(a[ky, xx]), base + int(sel[xx]),
+                            ))
+                    else:
+                        sel = labels[:, kx]
+                        gx = gx0 + kx
+                        boundary = gx if side == "l" else gx + 1
+                        for yy in np.nonzero(sel >= 0)[0]:
+                            erows.append((
+                                r.raster_id, r.band,
+                                2 * int(boundary), int(gy0 + yy),
+                                float(a[yy, kx]), base + int(sel[yy]),
+                            ))
+            yield pd.DataFrame(crows, columns=[f.name for f in comp_schema]
+                               ), pd.DataFrame(
+                erows, columns=[f.name for f in edge_schema])
+
+    # materialize both streams once (two passes over tiles is simpler
+    # than a tagged union; tile scans are cheap vs the label loop)
+    def emit_comps(batches):
+        for c, _ in emit(batches):
+            yield c
+
+    def emit_edges(batches):
+        for _, e in emit(batches):
+            yield e
+
+    comps = tiles.mapInPandas(emit_comps, schema=comp_schema).cache()
+    borders = tiles.mapInPandas(emit_edges, schema=edge_schema)
+    # equivalence pairs: same boundary line, same pixel pos, same value
+    l_ = borders.select("raster_id", "band", "bkey", "pos", "value",
+                        F.col("label").alias("la"))
+    r_ = borders.select("raster_id", "band", "bkey", "pos", "value",
+                        F.col("label").alias("lb"))
+    pairs = l_.join(r_, ["raster_id", "band", "bkey", "pos", "value"]).where(
+        F.col("la") != F.col("lb")
+    ).select("raster_id", "band", "la", "lb").distinct().cache()
+    # min-label propagation to fixpoint
+    mapping = comps.select(
+        "raster_id", "band", F.col("label"), F.col("label").alias("root")
+    )
+    for _ in range(max_iters):
+        prop = (
+            mapping.alias("m")
+            .join(
+                pairs.alias("p"),
+                (F.col("m.raster_id") == F.col("p.raster_id"))
+                & (F.col("m.band") == F.col("p.band"))
+                & (F.col("m.label") == F.col("p.la")),
+                "left",
+            )
+            .groupBy("m.raster_id", "m.band", "m.label")
+            .agg(F.min(F.col("m.root")).alias("self_root"))
+        )
+        # neighbor roots
+        nbr = (
+            pairs.alias("p")
+            .join(
+                mapping.alias("m2"),
+                (F.col("p.raster_id") == F.col("m2.raster_id"))
+                & (F.col("p.band") == F.col("m2.band"))
+                & (F.col("p.lb") == F.col("m2.label")),
+            )
+            .groupBy(
+                F.col("p.raster_id").alias("raster_id"),
+                F.col("p.band").alias("band"),
+                F.col("p.la").alias("label"),
+            )
+            .agg(F.min("m2.root").alias("nbr_root"))
+        )
+        new_mapping = (
+            prop.withColumnRenamed("self_root", "root")
+            .join(nbr, ["raster_id", "band", "label"], "left")
+            .select(
+                "raster_id", "band", "label",
+                F.least(
+                    F.col("root"),
+                    F.coalesce(F.col("nbr_root"), F.col("root")),
+                ).alias("root"),
+            )
+        ).cache()
+        changed = (
+            new_mapping.alias("n")
+            .join(mapping.alias("o"), ["raster_id", "band", "label"])
+            .where(F.col("n.root") != F.col("o.root"))
+            .limit(1)
+            .count()
+        )
+        mapping = new_mapping
+        if changed == 0:
+            break
+    merged = (
+        comps.join(mapping, ["raster_id", "band", "label"])
+        .groupBy("raster_id", "band", "root", "value")
+        .agg(
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+            F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+        )
+    )
+    out_schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("value", DoubleType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("geometry", BinaryType(), False),
+    ])
+
+    def to_geom(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                lx0 = x0 + r.minx * pw
+                lx1 = x0 + (r.maxx + 1) * pw
+                ly0 = y0 + r.miny * ph
+                ly1 = y0 + (r.maxy + 1) * ph
+                ring = [[lx0, ly0], [lx1, ly0], [lx1, ly1], [lx0, ly1]]
+                rows.append((r.raster_id, r.band, r.value, r.n_pixels,
+                             _wkb.dumps(_wkb.polygon(ring))))
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "value", "n_pixels", "geometry"])
+
+    return merged.mapInPandas(to_geom, schema=out_schema)
+
+
 def zonal_stats(
     samples: DataFrame,
     zone_col: str = "zone_id",

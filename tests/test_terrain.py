@@ -119,3 +119,36 @@ def test_resample_bilinear_matches_whole_raster(spark, smooth_tiles):
         + p[np.ix_(y0 + 1, x0 + 1)] * fy * fx
     ).astype(np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_polygonize_dissolved_cross_tile(spark):
+    # 2x2 tile grid with a plateau spanning all four tiles
+    T = synth.TILE
+    full = np.zeros((2 * T, 2 * T), dtype="<f4")
+    full[40:90, 50:100] = 5.0  # crosses both tile boundaries
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            a = full[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            rows.append(("r", 1, ty, tx, T, T, -9999.0,
+                         np.ascontiguousarray(a).tobytes()))
+    tiles = spark.createDataFrame(rows, schema=synth.RASTER_SCHEMA)
+    out = raster.polygonize_dissolved(
+        tiles, synth.GEOTRANSFORM, synth.TILE
+    ).collect()
+    by_val = {}
+    for r in out:
+        by_val.setdefault(r["value"], []).append(r)
+    # plateau dissolves into ONE component of exactly 50*50 px
+    assert len(by_val[5.0]) == 1
+    assert by_val[5.0][0]["n_pixels"] == 2500
+    # background dissolves into one component covering the rest
+    assert len(by_val[0.0]) == 1
+    assert by_val[0.0][0]["n_pixels"] == 4 * T * T - 2500
+    # bbox geometry of the plateau matches its pixel window
+    from spapy_spark.geometry import kernels, wkb
+    g = wkb.loads(bytes(by_val[5.0][0]["geometry"]))
+    x0, pw, _, y0, _, ph = synth.GEOTRANSFORM
+    minx, miny, maxx, maxy = kernels.geom_bounds(g)
+    assert minx == pytest.approx(x0 + 50 * pw)
+    assert maxx == pytest.approx(x0 + 100 * pw)

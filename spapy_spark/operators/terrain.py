@@ -199,6 +199,161 @@ def _halo_exchange(tiles: DataFrame, grid: int) -> DataFrame:
     return tiles.mapInPandas(emit, schema=msg_schema)
 
 
+def contour_segments_kernel(
+    a: np.ndarray, level: float, gx0: int = 0, gy0: int = 0
+) -> np.ndarray:
+    """Marching-squares segments of iso-``level`` over one array.
+
+    Cells are squares between 4 adjacent pixel centers; each cell with
+    a sign change yields 1-2 segments with linearly interpolated
+    endpoints (pixel-center coordinate space, offset by gx0/gy0).
+    Returns (S, 4) float64 [x1, y1, x2, y2] — vectorized over cells,
+    the standard 16-case table with midpoint disambiguation.
+    """
+    f = a.astype(np.float64) - level
+    tl, tr = f[:-1, :-1], f[:-1, 1:]
+    bl, br = f[1:, :-1], f[1:, 1:]
+    idx = (
+        (tl > 0).astype(np.int8)
+        | ((tr > 0).astype(np.int8) << 1)
+        | ((br > 0).astype(np.int8) << 2)
+        | ((bl > 0).astype(np.int8) << 3)
+    )
+    valid = ~(np.isnan(tl) | np.isnan(tr) | np.isnan(bl) | np.isnan(br))
+    cy, cx = np.nonzero((idx != 0) & (idx != 15) & valid)
+    if len(cy) == 0:
+        return np.empty((0, 4), dtype=np.float64)
+    segs = []
+
+    def interp(fa, fb):
+        d = fa - fb
+        return np.where(d != 0, fa / np.where(d == 0, 1.0, d), 0.5)
+
+    tl_, tr_ = tl[cy, cx], tr[cy, cx]
+    bl_, br_ = bl[cy, cx], br[cy, cx]
+    code = idx[cy, cx]
+    # edge crossing coordinates (pixel-center space)
+    top_x = cx + interp(tl_, tr_)
+    bot_x = cx + interp(bl_, br_)
+    lef_y = cy + interp(tl_, bl_)
+    rig_y = cy + interp(tr_, br_)
+    top = np.stack([gx0 + top_x, gy0 + cy + 0.0], 1)
+    bot = np.stack([gx0 + bot_x, gy0 + cy + 1.0], 1)
+    lef = np.stack([gx0 + cx + 0.0, gy0 + lef_y], 1)
+    rig = np.stack([gx0 + cx + 1.0, gy0 + rig_y], 1)
+    # case table: which two edges connect (ambiguous 5/10 split by
+    # center average sign)
+    center = (tl_ + tr_ + bl_ + br_) / 4.0
+    pair_map = {
+        1: [("lef", "top")], 2: [("top", "rig")], 3: [("lef", "rig")],
+        4: [("rig", "bot")], 6: [("top", "bot")], 7: [("lef", "bot")],
+        8: [("bot", "lef")], 9: [("bot", "top")], 11: [("bot", "rig")],
+        12: [("rig", "lef")], 13: [("rig", "top")], 14: [("top", "lef")],
+    }
+    edges = {"top": top, "bot": bot, "lef": lef, "rig": rig}
+    for c, plist in pair_map.items():
+        m = code == c
+        if not m.any():
+            continue
+        for e1, e2 in plist:
+            segs.append(np.hstack([edges[e1][m], edges[e2][m]]))
+    for c, straight, crossed in ((5, [("lef", "top"), ("rig", "bot")],
+                                  [("lef", "bot"), ("rig", "top")]),
+                                 (10, [("top", "rig"), ("bot", "lef")],
+                                  [("top", "lef"), ("bot", "rig")])):
+        m = code == c
+        if not m.any():
+            continue
+        amb = center[m] > 0
+        for flag, plist in ((True, straight), (False, crossed)):
+            mm = m.copy()
+            mm[m] = amb == flag
+            if not mm.any():
+                continue
+            for e1, e2 in plist:
+                segs.append(np.hstack([edges[e1][mm], edges[e2][mm]]))
+    return np.vstack(segs) if segs else np.empty((0, 4), dtype=np.float64)
+
+
+def contour(
+    tiles: DataFrame,
+    levels: list[float],
+    grid: int,
+    tile: int,
+    geotransform: tuple,
+) -> DataFrame:
+    """Distributed contour extraction (reference: gdal.ContourGenerate,
+    /root/reference/SpaTopo.py:185-233).
+
+    Marching squares per tile over a (tile+1)² pixel window — the
+    right/bottom halo row comes from the neighbor exchange, so segments
+    are identical to a whole-raster run.  Output one row per
+    (raster_id, band, level, tile) with a MultiLineString WKB of the
+    tile's segments in CRS coordinates (pixel centers).
+    """
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    from ..geometry import wkb as _wkb
+
+    x0, pw, _, y0, _, ph = geotransform
+    msgs = _halo_exchange(tiles, grid)
+    out_schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("level", DoubleType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("tile_x", IntegerType(), False),
+        StructField("n_segments", IntegerType(), False),
+        StructField("geometry", BinaryType(), False),
+    ])
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid, band, ty, tx = key
+        center = pdf[(pdf.dy == 0) & (pdf.dx == 0)].iloc[0]
+        h, w = int(center.height), int(center.width)
+        a = _buf(center.pixels, h, w).astype(np.float64)
+        have = {}
+        for r in pdf.itertuples(index=False):
+            have[(r.dy, r.dx)] = _buf(r.pixels, r.height, r.width).astype(
+                np.float64
+            )
+        # extend by one row/col to the bottom/right (cells owned by the
+        # tile span pixel rows [0..h] × [0..w])
+        ext = np.full((h + 1, w + 1), np.nan)
+        ext[:h, :w] = a
+        if (1, 0) in have:
+            ext[h, :w] = have[(1, 0)][0]
+        if (0, 1) in have:
+            ext[:h, w] = have[(0, 1)][:, 0]
+        if (1, 1) in have:
+            ext[h, w] = have[(1, 1)][0, 0]
+        # NaN rows (raster edge) produce no segments (comparisons False)
+        rows = []
+        for level in levels:
+            segs = contour_segments_kernel(
+                ext, float(level), gx0=tx * tile, gy0=ty * tile
+            )
+            if len(segs) == 0:
+                continue
+            # pixel-center → CRS coords
+            coords = []
+            for sx1, sy1, sx2, sy2 in segs:
+                coords.append(np.array([
+                    [x0 + (sx1 + 0.5) * pw, y0 + (sy1 + 0.5) * ph],
+                    [x0 + (sx2 + 0.5) * pw, y0 + (sy2 + 0.5) * ph],
+                ]))
+            g = {"type": "MultiLineString", "coordinates": coords}
+            rows.append((rid, band, float(level), int(ty), int(tx),
+                         len(coords), _wkb.dumps(g)))
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return msgs.groupBy("raster_id", "band", "tile_y", "tile_x").applyInPandas(
+        assemble, schema=out_schema
+    )
+
+
 def focal(
     tiles: DataFrame,
     op: str,

@@ -152,3 +152,56 @@ def test_polygonize_dissolved_cross_tile(spark):
     minx, miny, maxx, maxy = kernels.geom_bounds(g)
     assert minx == pytest.approx(x0 + 50 * pw)
     assert maxx == pytest.approx(x0 + 100 * pw)
+
+
+def test_contour_analytic_and_tiled(spark):
+    from spapy_spark.operators.terrain import contour_segments_kernel
+
+    # analytic: contour of z = x at level 10.5 → vertical line x=10.5
+    gy, gx = np.mgrid[0:32, 0:32]
+    ramp = gx.astype(np.float64)
+    segs = contour_segments_kernel(ramp, 10.5)
+    assert len(segs) == 31  # one segment per cell row
+    np.testing.assert_allclose(segs[:, 0], 10.5)
+    np.testing.assert_allclose(segs[:, 2], 10.5)
+    total_len = np.sqrt((segs[:, 2] - segs[:, 0]) ** 2
+                        + (segs[:, 3] - segs[:, 1]) ** 2).sum()
+    assert total_len == pytest.approx(31.0)
+
+    # tiled == whole-raster segment multiset on the smooth DEM
+    T, G = synth.TILE, synth.GRID
+    gy, gx = np.mgrid[0:G * T, 0:G * T]
+    arr = synth.dem_value(gx.astype(np.float64), gy.astype(np.float64)).astype(
+        np.float64
+    )
+    level = 60.0
+    want = contour_segments_kernel(arr, level)
+    rows = []
+    for ty in range(G):
+        for tx in range(G):
+            a = arr[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T]
+            rows.append(("dem", 1, ty, tx, T, T, synth.NODATA,
+                         a.astype("<f4").tobytes()))
+    tiles = spark.createDataFrame(rows, schema=synth.RASTER_SCHEMA)
+    out = terrain.contour(tiles, [level], grid=G, tile=T,
+                          geotransform=synth.GEOTRANSFORM).collect()
+    from spapy_spark.geometry import wkb
+    x0, pw, _, y0, _, ph = synth.GEOTRANSFORM
+    got = []
+    for r in out:
+        g = wkb.loads(bytes(r["geometry"]))
+        for seg in g["coordinates"]:
+            # CRS → pixel-center coords (invert the transform)
+            p = [( (c[0] - x0) / pw - 0.5, (c[1] - y0) / ph - 0.5)
+                 for c in np.asarray(seg)]
+            got.append((round(p[0][0], 6), round(p[0][1], 6),
+                        round(p[1][0], 6), round(p[1][1], 6)))
+    # want arr computed in float64; tiles store float32 → recompute want
+    # from the float32-rounded array for exact comparison
+    want32 = contour_segments_kernel(
+        arr.astype("<f4").astype(np.float64), level)
+    want_set = sorted(
+        (round(s[0], 6), round(s[1], 6), round(s[2], 6), round(s[3], 6))
+        for s in want32
+    )
+    assert sorted(got) == want_set and len(want_set) > 100

@@ -314,10 +314,8 @@ def _subtract_ring(parts, ring):
 
 def boolean_op(g1: dict, g2: dict, op: str) -> dict | None:
     """General boolean op of (Multi)Polygon dicts (arbitrary simple
-    rings).  Hole support: intersection/difference accept subject
-    holes; clip-side holes are accepted for intersection (subtracted)
-    and rejected for difference/union (reference workloads never
-    subtract holed clips; documented divergence).  Returns a
+    rings, holes supported on BOTH sides for all four ops — holed
+    clips decompose via A ∖ (E∖H) = (A∖E) ⊎ (A∩H)).  Returns a
     MultiPolygon dict or None when empty."""
     from . import wkb
 
@@ -334,19 +332,27 @@ def boolean_op(g1: dict, g2: dict, op: str) -> dict | None:
                 parts.extend(cur)
         return _assemble(parts)
     if op == "difference":
-        for _, h2 in p2:
-            if h2:
-                raise NotImplementedError("holed clip in general difference")
+        # A ∖ (ext ∖ hole) = (A ∖ ext) ⊎ (A ∩ hole): each holed clip
+        # part subtracts its exterior and adds back the hole overlaps —
+        # the two sets are disjoint (hole ⊂ ext), so plain concatenation
         cur = p1
-        for e2, _ in p2:
-            cur = _subtract_ring(cur, e2)
+        for e2, h2 in p2:
+            add_back = []
+            for h in h2:
+                for ext, holes in cur:
+                    hg = {"type": "Polygon", "coordinates": [ext] + list(holes)}
+                    clipg = {"type": "Polygon", "coordinates": [h]}
+                    inter = boolean_op(hg, clipg, "intersection")
+                    if inter is not None:
+                        add_back.extend(
+                            (list(r)[0], list(r)[1:])
+                            for r in wkb.polygons_of(inter)
+                        )
+            cur = _subtract_ring(cur, e2) + add_back
         return _assemble(cur)
     if op == "union":
-        # disjoint decomposition: g1 ⊎ (g2 ∖ g1) — no pairwise merge
-        # bookkeeping, exact for any simple inputs with hole-free g1
-        for _, h in p1:
-            if h:
-                raise NotImplementedError("holed left input in general union")
+        # disjoint decomposition: g1 ⊎ (g2 ∖ g1) — g1 holes are fine
+        # (the difference's holed-clip identity handles them)
         rest = boolean_op(g2, g1, "difference")
         parts = list(p1)
         if rest is not None:

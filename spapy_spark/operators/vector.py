@@ -101,36 +101,67 @@ def _geom_map(df: DataFrame, fn, geometry: str = "geometry") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def buffer_geom(g: dict, amount: float, quad_segs: int = 16) -> dict | None:
+    """Positive buffer of a Point/(Multi)Polygon geometry dict.
+
+    Polygon buffers are the exact Minkowski-sum decomposition:
+    ``P ⊕ disc(r) = P ∪ (⋃ edge rectangles of width 2r) ∪ (⋃ vertex
+    n-gon discs)``, folded with the general Greiner–Hormann union —
+    exact for arbitrary simple (concave) exteriors up to the n-gon
+    disc discretization (GEOS uses the same quad-segment fan).  Holes
+    are dropped (positive buffers erode holes; not needed by reference
+    workloads — documented divergence)."""
+    from ..geometry import clip2
+
+    t = g["type"]
+    if t == "Point":
+        ring = kernels.point_buffer_ring(
+            float(g["coordinates"][0]), float(g["coordinates"][1]),
+            amount, quad_segs,
+        )
+        return wkb.promote_multi({"type": "Polygon", "coordinates": [ring]})
+    if t not in ("Polygon", "MultiPolygon"):
+        return None
+    acc = None
+    for rings in wkb.polygons_of(g):
+        ext = np.asarray(rings[0], dtype=np.float64)
+        if np.array_equal(ext[0], ext[-1]):
+            ext_open = ext[:-1]
+        else:
+            ext_open = ext
+        pieces = [{"type": "Polygon", "coordinates": [ext]}]
+        for i in range(len(ext_open)):
+            a = ext_open[i]
+            b = ext_open[(i + 1) % len(ext_open)]
+            d = b - a
+            ln = float(np.hypot(d[0], d[1]))
+            if ln > 0:
+                n = d / ln * amount
+                perp = np.array([-n[1], n[0]])
+                rect = np.array([a + perp, b + perp, b - perp, a - perp,
+                                 a + perp])
+                pieces.append({"type": "Polygon", "coordinates": [rect]})
+            pieces.append({
+                "type": "Polygon",
+                "coordinates": [kernels.point_buffer_ring(
+                    float(a[0]), float(a[1]), amount, quad_segs)],
+            })
+        part = pieces[0]
+        for p in pieces[1:]:
+            part = clip2.boolean_op(part, p, "union")
+        acc = part if acc is None else clip2.boolean_op(acc, part, "union")
+    return acc
+
+
 def buffer(df: DataFrame, amount: float, geometry: str = "geometry",
            quad_segs: int = 16) -> DataFrame:
     """Buffer points/polygons by ``amount``; output promoted to
     MultiPolygon (/root/reference/SpaVectors.py:790-818,801).
-
-    Point buffers are exact n-gon fans (matching GEOS's quad-segment
-    fan); polygon buffers use vertex fans + edge offsets merged via
-    their convex hull — exact for convex inputs, conservative-hull for
-    concave (documented divergence; the reference delegates to GEOS).
-    """
+    See :func:`buffer_geom` for semantics."""
 
     def op(g):
-        t = g["type"]
-        if t == "Point":
-            ring = kernels.point_buffer_ring(
-                float(g["coordinates"][0]), float(g["coordinates"][1]),
-                amount, quad_segs,
-            )
-            return wkb.promote_multi({"type": "Polygon", "coordinates": [ring]})
-        if t in ("Polygon", "MultiPolygon"):
-            pts = []
-            for rings in wkb.polygons_of(g):
-                ext = np.asarray(rings[0])
-                for x, y in ext[:-1]:
-                    pts.append(
-                        kernels.point_buffer_ring(x, y, amount, quad_segs)[:-1]
-                    )
-            hull = kernels.convex_hull(np.vstack(pts))
-            return wkb.promote_multi({"type": "Polygon", "coordinates": [hull]})
-        return None
+        out = buffer_geom(g, amount, quad_segs)
+        return None if out is None else wkb.promote_multi(out)
 
     return _geom_map(df, op, geometry)
 

@@ -519,6 +519,91 @@ def resample_bilinear(
     )
 
 
+def trace_mask_rings(mask: np.ndarray):
+    """Pixel-exact rectilinear boundary rings of a binary mask.
+
+    Walks the unit edges between True and False pixels (interior kept
+    on the LEFT), chaining them into closed rings: one CCW exterior per
+    connected component plus CW hole rings.  Coordinates are in pixel
+    units (pixel (x, y) spans [x, x+1] × [y, y+1]) — this is exactly
+    GDAL Polygonize's rectilinear output geometry
+    (/root/reference/SpaRasters.py:827-882).
+    """
+    h, w = mask.shape
+    m = np.zeros((h + 2, w + 2), dtype=bool)
+    m[1:-1, 1:-1] = mask
+    # directed boundary edges, interior on the left of travel direction:
+    #  - pixel above empty → edge along its top, traveling +x
+    #  - below empty → bottom edge, traveling −x
+    #  - left empty → left edge, traveling −y (up)... in raster coords
+    #    (+y down) interior-left means: top: +x, right: +y, bottom: −x,
+    #    left: −y
+    from collections import defaultdict
+
+    edges: dict[tuple, list] = defaultdict(list)
+    ys, xs = np.nonzero(mask)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        if not m[y, x + 1]:  # above empty
+            edges[(x, y)].append((x + 1, y))
+        if not m[y + 2, x + 1]:  # below empty
+            edges[(x + 1, y + 1)].append((x, y + 1))
+        if not m[y + 1, x + 2]:  # right empty
+            edges[(x + 1, y)].append((x + 1, y + 1))
+        if not m[y + 1, x]:  # left empty
+            edges[(x, y + 1)].append((x, y))
+
+    def pop_next(node, din):
+        """At pinch vertices prefer the sharpest LEFT turn relative to
+        the incoming direction so touching components stay separate."""
+        outs = edges.get(node)
+        if not outs:
+            return None
+        if len(outs) == 1 or din is None:
+            nxt = outs.pop()
+        else:
+            # rank: left turn < straight < right turn (never reverse)
+            def rank(cand):
+                dx, dy = cand[0] - node[0], cand[1] - node[1]
+                cross = din[0] * dy - din[1] * dx
+                dot = din[0] * dx + din[1] * dy
+                if cross > 0:
+                    return 0  # left (raster coords: +y down, CCW-left)
+                if dot > 0:
+                    return 1  # straight
+                return 2
+            outs.sort(key=rank)
+            nxt = outs.pop(0)
+        if not outs:
+            edges.pop(node, None)
+        return nxt
+
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        node = start
+        din = None
+        while True:
+            nxt = pop_next(node, din)
+            if nxt is None:
+                break  # should not happen for well-formed masks
+            din = (nxt[0] - node[0], nxt[1] - node[1])
+            ring.append(nxt)
+            node = nxt
+            if node == start:
+                break
+        # collapse collinear runs
+        pts = np.array(ring, dtype=np.float64)
+        keep = [0]
+        for i in range(1, len(pts) - 1):
+            a, b, c = pts[keep[-1]], pts[i], pts[i + 1]
+            if (b[0] - a[0]) * (c[1] - b[1]) != (b[1] - a[1]) * (c[0] - b[0]):
+                keep.append(i)
+        pts = np.vstack([pts[keep], pts[:1]])
+        rings.append(pts)
+    return rings
+
+
 def polygonize_tiles(
     tiles: DataFrame, geotransform: tuple, tile: int,
 ) -> DataFrame:
@@ -584,17 +669,24 @@ def polygonize_tiles(
                     npx = int(m.sum())
                     ys, xs = np.nonzero(m)
                     v = float(a[ys[0], xs[0]])
-                    # pixel-bbox ring in CRS coords (exact for the
-                    # rectangular components the tests use; generic
-                    # boundary trace is the v2 refinement)
-                    lx0 = x0 + (gx0 + xs.min()) * pw
-                    lx1 = x0 + (gx0 + xs.max() + 1) * pw
-                    ly0 = y0 + (gy0 + ys.min()) * ph
-                    ly1 = y0 + (gy0 + ys.max() + 1) * ph
-                    ring = [[lx0, ly0], [lx1, ly0], [lx1, ly1], [lx0, ly1]]
+                    # pixel-exact rectilinear boundary (GDAL Polygonize
+                    # geometry), pixel corners → CRS coords
+                    rings_px = trace_mask_rings(m)
+                    rings_crs = []
+                    for rg in rings_px:
+                        c = np.empty_like(rg)
+                        c[:, 0] = x0 + (gx0 + rg[:, 0]) * pw
+                        c[:, 1] = y0 + (gy0 + rg[:, 1]) * ph
+                        rings_crs.append(c)
+                    # exterior = largest |area| ring; rest are holes
+                    from ..geometry.kernels import ring_signed_area
+
+                    rings_crs.sort(
+                        key=lambda rr: -abs(ring_signed_area(rr))
+                    )
+                    geom = {"type": "Polygon", "coordinates": rings_crs}
                     rows.append((
-                        r.raster_id, r.band, v, npx,
-                        _wkb.dumps(_wkb.polygon(ring)),
+                        r.raster_id, r.band, v, npx, _wkb.dumps(geom),
                     ))
             yield pd.DataFrame(rows, columns=[
                 "raster_id", "band", "value", "n_pixels", "geometry"])

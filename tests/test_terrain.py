@@ -205,3 +205,50 @@ def test_contour_analytic_and_tiled(spark):
         for s in want32
     )
     assert sorted(got) == want_set and len(want_set) > 100
+
+
+def test_polygonize_exact_boundaries(spark):
+    """Pixel-exact boundary traces: area == n_pixels × pixel area for
+    arbitrary shapes (L-shape, diagonal touch, donut with hole)."""
+    from spapy_spark.geometry import kernels, wkb
+    from spapy_spark.operators.raster import trace_mask_rings
+
+    # unit checks on the tracer itself
+    m = np.zeros((8, 8), bool)
+    m[1:4, 1:6] = True   # bar
+    m[1:7, 1:3] = True   # L
+    rings = trace_mask_rings(m)
+    assert len(rings) == 1
+    area = abs(kernels.ring_signed_area(rings[0]))
+    assert area == m.sum()
+    # diagonal touch stays two components' worth of boundary
+    m2 = np.zeros((4, 4), bool)
+    m2[0, 0] = True
+    m2[1, 1] = True
+    r2 = trace_mask_rings(m2)
+    assert len(r2) == 2
+    assert sum(abs(kernels.ring_signed_area(r)) for r in r2) == 2.0
+    # donut: exterior + hole ring
+    m3 = np.zeros((8, 8), bool)
+    m3[1:7, 1:7] = True
+    m3[3:5, 3:5] = False
+    r3 = trace_mask_rings(m3)
+    assert len(r3) == 2
+    areas = sorted(abs(kernels.ring_signed_area(r)) for r in r3)
+    assert areas == [4.0, 36.0]
+
+    # end-to-end through the tile operator
+    a = np.zeros((64, 64), dtype="<f4")
+    a[5:15, 5:15] = 7.0
+    a[8:12, 8:12] = 0.0  # hole in the plateau
+    rows = [("r", 1, 0, 0, 64, 64, -9999.0, a.tobytes())]
+    tiles = spark.createDataFrame(rows, schema=synth.RASTER_SCHEMA)
+    out = raster.polygonize_tiles(
+        tiles, synth.GEOTRANSFORM, synth.TILE
+    ).collect()
+    px_area = abs(synth.GEOTRANSFORM[1] * synth.GEOTRANSFORM[5])
+    for r in out:
+        g = wkb.loads(bytes(r["geometry"]))
+        assert kernels.geom_area(g) == pytest.approx(
+            r["n_pixels"] * px_area, rel=1e-9
+        )

@@ -110,3 +110,39 @@ def test_cell_join_shuffles_on_cell(spark):
         assert "hashpartitioning(cell" in _plan(out2)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """Iceberg-style layout: spatial + temporal partition pruning must
+    reach the scan as PartitionFilters (directories skipped, not rows
+    filtered)."""
+    from pyspark.sql import functions as F
+
+    from spapy_spark.operators import geocode
+    from spapy_spark.sources import layout, synth
+
+    docs = geocode.geocode_coords(synth.webpages(spark, 5000, partitions=4))
+    path = str(tmp_path / "docs_part")
+    layout.write_documents(docs, path)
+    t = layout.read_documents(spark, path)
+    # spatial prune: Seattle-area bbox
+    cells = layout.cells_for_bbox(-125.0, 45.0, -120.0, 50.0)
+    q = t.where(F.col("p_cell").isin(cells)).select("url")
+    plan = _plan(q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "p_cell" in pf  # pruning happens at directory level
+    n_spatial = q.count()
+    assert 0 < n_spatial < 5000
+    # temporal prune
+    q2 = t.where(F.col("p_date") == "2024-01-01").select("url")
+    pf2 = [l for l in _plan(q2).splitlines() if "PartitionFilters" in l][0]
+    assert "p_date" in pf2
+    # correctness: the pruned spatial read equals a full-scan filter
+    full = geocode.geocode_coords(synth.webpages(spark, 5000, partitions=4))
+    want = full.where(
+        F.col("lat").between(45.0, 50.0) & F.col("lon").between(-125.0, -120.0)
+    ).count()
+    got = t.where(F.col("p_cell").isin(cells)).where(
+        F.col("lat").between(45.0, 50.0) & F.col("lon").between(-125.0, -120.0)
+    ).count()
+    assert got == want  # covering cells are a superset: no false negatives

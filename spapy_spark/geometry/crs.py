@@ -133,21 +133,158 @@ def utm_to_lonlat(x, y, zone: int, south: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Conic projections (Snyder 1987 ellipsoidal formulas): Albers Equal
+# Area + Lambert Conformal Conic — the projections the reference's own
+# tests use (Albers proj-dict + EPSG:26941,
+# /root/reference/SpaPyTests/Tests/SpaReferencingTest.py:56-89)
+# ---------------------------------------------------------------------------
+
+_E = np.sqrt(_E2)
+
+
+def _q_authalic(lat):
+    s = np.sin(lat)
+    return (1 - _E2) * (
+        s / (1 - _E2 * s * s)
+        - (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s))
+    )
+
+
+def _m_radius(lat):
+    return np.cos(lat) / np.sqrt(1 - _E2 * np.sin(lat) ** 2)
+
+
+class Albers:
+    """Albers Equal-Area conic (2 standard parallels, ellipsoidal)."""
+
+    def __init__(self, lat_1, lat_2, lat_0=0.0, lon_0=0.0, x_0=0.0, y_0=0.0):
+        p1, p2 = np.radians(lat_1), np.radians(lat_2)
+        self.lat0, self.lon0 = np.radians(lat_0), np.radians(lon_0)
+        self.x0, self.y0 = x_0, y_0
+        m1, m2 = _m_radius(p1), _m_radius(p2)
+        q1, q2 = _q_authalic(p1), _q_authalic(p2)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = _A * np.sqrt(self.C - self.n * _q_authalic(self.lat0)) / self.n
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64))
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = _A * np.sqrt(self.C - self.n * _q_authalic(phi)) / self.n
+        th = self.n * (lam - self.lon0)
+        return (self.x0 + rho * np.sin(th),
+                self.y0 + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.x0
+        y = self.rho0 - (np.asarray(y, np.float64) - self.y0)
+        rho = np.hypot(x, y) * np.sign(self.n)
+        th = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * y)
+        q = (self.C - (rho * self.n / _A) ** 2) / self.n
+        phi = np.arcsin(np.clip(q / 2, -1, 1))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - _E2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                q / (1 - _E2)
+                - s / (1 - _E2 * s * s)
+                + (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s))
+            )
+        lam = self.lon0 + th / self.n
+        return np.degrees(lam), np.degrees(phi)
+
+
+def _t_conformal(lat):
+    s = np.sin(lat)
+    return np.tan(np.pi / 4 - lat / 2) / (
+        (1 - _E * s) / (1 + _E * s)
+    ) ** (_E / 2)
+
+
+class LambertConformal:
+    """Lambert Conformal Conic (2SP, ellipsoidal) — e.g. EPSG:26941."""
+
+    def __init__(self, lat_1, lat_2, lat_0=0.0, lon_0=0.0, x_0=0.0, y_0=0.0):
+        p1, p2 = np.radians(lat_1), np.radians(lat_2)
+        self.lat0, self.lon0 = np.radians(lat_0), np.radians(lon_0)
+        self.x0, self.y0 = x_0, y_0
+        m1, m2 = _m_radius(p1), _m_radius(p2)
+        t1, t2 = _t_conformal(p1), _t_conformal(p2)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = _A * self.F * _t_conformal(self.lat0) ** self.n
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64))
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = _A * self.F * _t_conformal(phi) ** self.n
+        th = self.n * (lam - self.lon0)
+        return (self.x0 + rho * np.sin(th),
+                self.y0 + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.x0
+        y = self.rho0 - (np.asarray(y, np.float64) - self.y0)
+        rho = np.hypot(x, y) * np.sign(self.n)
+        th = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * y)
+        t = (rho / (_A * self.F)) ** (1 / self.n)
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2)
+            )
+        return np.degrees(self.lon0 + th / self.n), np.degrees(phi)
+
+
+def from_proj_dict(d: dict):
+    """Build a projection from a proj-style dict — the reference's
+    Albers usage shape ({'proj': 'aea', 'lat_1': …, …})."""
+    proj = d.get("proj")
+    kw = {k: float(d[k]) for k in ("lat_1", "lat_2", "lat_0", "lon_0",
+                                   "x_0", "y_0") if k in d}
+    if proj == "aea":
+        return Albers(**kw)
+    if proj == "lcc":
+        return LambertConformal(**kw)
+    raise ValueError(f"unsupported proj {proj!r}")
+
+
+# EPSG shortcuts for the conic SPCS zones the reference exercises
+_EPSG_CONICS = {
+    # NAD83 California zone 1 (meters) — GRS80 ≈ WGS84 at our tolerance
+    "epsg:26941": dict(proj="lcc", lat_1=41.666666666, lat_2=40.0,
+                       lat_0=39.333333333, lon_0=-122.0,
+                       x_0=2000000.0, y_0=500000.0),
+}
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + DataFrame operator
 # ---------------------------------------------------------------------------
 
 
-def transform_arrays(x, y, src: str, dst: str):
-    """Transform coordinate arrays between supported CRS codes.
+def transform_arrays(x, y, src, dst):
+    """Transform coordinate arrays between supported CRS specs.
 
-    Codes: 'epsg:4326', 'epsg:3857', 'epsg:326XX' (UTM north),
-    'epsg:327XX' (UTM south).
+    Specs: 'epsg:4326', 'epsg:3857', 'epsg:326XX'/'epsg:327XX' (UTM),
+    'epsg:26941' (CA zone 1 LCC), or a proj-style dict ({'proj':
+    'aea'|'lcc', 'lat_1': …}) — mirroring the reference's Albers
+    proj-dict input (/root/reference/SpaPyTests/Tests/
+    SpaReferencingTest.py:56-89).
     """
-    src, dst = src.lower(), dst.lower()
+    def norm(spec):
+        if isinstance(spec, dict):
+            return spec
+        s = spec.lower()
+        return _EPSG_CONICS.get(s, s)
+
+    src, dst = norm(src), norm(dst)
     if src == dst:
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
     # normalize to lon/lat
-    if src == "epsg:4326":
+    if isinstance(src, dict):
+        lon, lat = from_proj_dict(src).inverse(x, y)
+    elif src == "epsg:4326":
         lon, lat = np.asarray(x, np.float64), np.asarray(y, np.float64)
     elif src == "epsg:3857":
         lon, lat = webmercator_to_lonlat(x, y)
@@ -157,6 +294,8 @@ def transform_arrays(x, y, src: str, dst: str):
         lon, lat = utm_to_lonlat(x, y, int(src[8:]), south=True)
     else:
         raise ValueError(f"unsupported source CRS {src!r}")
+    if isinstance(dst, dict):
+        return from_proj_dict(dst).forward(lon, lat)
     if dst == "epsg:4326":
         return lon, lat
     if dst == "epsg:3857":

@@ -79,3 +79,94 @@ def test_transform_df(spark):
     out = crs.transform_df(df, "epsg:4326", "epsg:32610").collect()
     g = wkb.loads(bytes(out[0]["geometry"]))
     assert g["coordinates"][0] == pytest.approx(550200.213, abs=0.01)
+
+
+class TestConics:
+    """Albers + LCC, validated by their defining mathematical
+    properties (no pyproj available): AEA preserves ellipsoidal area,
+    LCC is conformal (isotropic local scale, right angles preserved),
+    and both round-trip to nanodegrees."""
+
+    ALBERS = {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5,
+              "lat_0": 23.0, "lon_0": -96.0}
+
+    def test_albers_roundtrip(self):
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-120, -70, 300)
+        lat = rng.uniform(25, 49, 300)
+        p = crs.from_proj_dict(self.ALBERS)
+        x, y = p.forward(lon, lat)
+        lo, la = p.inverse(x, y)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_albers_is_equal_area(self):
+        """Projected area of a 1°×1° quad equals the numerically
+        integrated ellipsoidal area (M·N·cosφ) to 1e-6 relative."""
+        from spapy_spark.geometry.kernels import ring_signed_area
+
+        p = crs.from_proj_dict(self.ALBERS)
+        for lon0, lat0 in ((-100.0, 30.0), (-80.0, 44.0), (-110.0, 25.0)):
+            k = 40
+            lons = np.linspace(lon0, lon0 + 1, k)
+            lats = np.linspace(lat0, lat0 + 1, k)
+            ring = np.vstack([
+                np.column_stack([lons, np.full(k, lat0)]),
+                np.column_stack([np.full(k, lon0 + 1), lats]),
+                np.column_stack([lons[::-1], np.full(k, lat0 + 1)]),
+                np.column_stack([np.full(k, lon0), lats[::-1]]),
+            ])
+            x, y = p.forward(ring[:, 0], ring[:, 1])
+            proj_area = abs(ring_signed_area(
+                np.column_stack([x, y])))
+            # ellipsoid surface area via M·N·cosφ quadrature
+            a, e2 = 6378137.0, 0.00669437999014
+            phi = np.radians(np.linspace(lat0, lat0 + 1, 2000))
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            dlam = np.radians(1.0)
+            true_area = np.trapz(M * N * np.cos(phi), phi) * dlam
+            assert proj_area == pytest.approx(true_area, rel=1e-6)
+
+    def test_lcc_roundtrip_and_conformality(self):
+        p = crs.LambertConformal(lat_1=41.6667, lat_2=40.0,
+                                 lat_0=39.3333, lon_0=-122.0,
+                                 x_0=2000000.0, y_0=500000.0)
+        rng = np.random.default_rng(6)
+        lon = rng.uniform(-125, -119, 200)
+        lat = rng.uniform(39, 43, 200)
+        x, y = p.forward(lon, lat)
+        lo, la = p.inverse(x, y)
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+        # conformality: E-W and N-S metric displacement vectors are
+        # orthogonal with equal scale (h == k) at every sample point
+        d = 1e-6
+        xe, ye = p.forward(lon + d, lat)
+        xn, yn = p.forward(lon, lat + d)
+        ve = np.stack([xe - x, ye - y], 1)
+        vn = np.stack([xn - x, yn - y], 1)
+        a, e2 = 6378137.0, 0.00669437999014
+        phi = np.radians(lat)
+        M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        ground_e = N * np.cos(phi) * np.radians(d)
+        ground_n = M * np.radians(d)
+        k = np.linalg.norm(ve, axis=1) / ground_e
+        h = np.linalg.norm(vn, axis=1) / ground_n
+        np.testing.assert_allclose(h, k, rtol=1e-5)
+        cosang = (ve * vn).sum(1) / (
+            np.linalg.norm(ve, axis=1) * np.linalg.norm(vn, axis=1))
+        np.testing.assert_allclose(cosang, 0.0, atol=1e-5)
+
+    def test_epsg26941_shortcut_and_projdict_dispatch(self):
+        x, y = crs.transform_arrays([-122.0], [39.3333333333],
+                                    "epsg:4326", "epsg:26941")
+        # the origin maps to the false easting/northing
+        assert x[0] == pytest.approx(2000000.0, abs=1e-3)
+        assert y[0] == pytest.approx(500000.0, abs=0.5)
+        lo, la = crs.transform_arrays(x, y, "epsg:26941", "epsg:4326")
+        assert lo[0] == pytest.approx(-122.0, abs=1e-9)
+        x2, y2 = crs.transform_arrays([-96.0], [23.0], "epsg:4326",
+                                      self.ALBERS)
+        assert x2[0] == pytest.approx(0.0, abs=1e-6)

@@ -138,6 +138,94 @@ def knn_join_broadcast(
     return src.mapInPandas(probe, schema=schema)
 
 
+def knn_join_grid(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int = 1,
+    res: int = 6,
+    ring: int = 1,
+    x: str = "lon",
+    y: str = "lat",
+    point_id: str = "point_id",
+    site_id: str = "site_id",
+    sx: str = "x",
+    sy: str = "y",
+) -> DataFrame:
+    """Fully distributed kNN — NO broadcast, NO Python: both sides can
+    be arbitrarily large.
+
+    Plan (pure Catalyst): sites get their res-``res`` cell; points
+    explode to the (2·ring+1)² cells of their Chebyshev ``ring``
+    neighborhood; equi-join on the cell; per-point top-k via
+    ``array_sort`` over collected (dist, site_id) structs (deterministic
+    tie-break).  Output adds ``certain``: true iff the k-th distance is
+    below ``ring × min(cell_w, cell_h)`` — the geometric guarantee that
+    no site outside the searched neighborhood can beat it.  Callers
+    escalate ``ring`` (or fall back to the broadcast path) for the
+    usually-tiny uncertain remainder.
+    """
+    n = 1 << res
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    bound = ring * min(cell_w, cell_h)
+
+    def cell_ij(lon_c, lat_c):
+        ix = F.least(
+            F.greatest(F.floor((lon_c + 180.0) / 360.0 * n), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long")
+        iy = F.least(
+            F.greatest(F.floor((lat_c + 90.0) / 180.0 * n), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long")
+        return ix, iy
+
+    s_ix, s_iy = cell_ij(F.col(sx), F.col(sy))
+    s = sites.select(
+        F.col(site_id).alias("__sid"), F.col(sx).alias("__sx"),
+        F.col(sy).alias("__sy"),
+        (s_ix * n + s_iy).alias("__cell"),
+    )
+    p_ix, p_iy = cell_ij(F.col(x), F.col(y))
+    offs = [(dy, dx) for dy in range(-ring, ring + 1)
+            for dx in range(-ring, ring + 1)]
+    # lat rows outside the grid yield NULL (dropped); lon wraps
+    cells_arr = F.array(*[
+        F.when(
+            ((p_iy + dy) >= 0) & ((p_iy + dy) < n),
+            F.pmod(p_ix + dx, F.lit(n)) * n + (p_iy + dy),
+        )
+        for dy, dx in offs
+    ])
+    p = points.select(
+        F.col(point_id), F.col(x).alias("__px"), F.col(y).alias("__py"),
+        F.explode(cells_arr).alias("__cell"),
+    ).where(F.col("__cell").isNotNull())
+    j = p.join(s, "__cell")
+    d2 = (F.col("__px") - F.col("__sx")) ** 2 + (
+        F.col("__py") - F.col("__sy")
+    ) ** 2
+    cand = j.select(
+        point_id,
+        F.struct(d2.alias("d2"), F.col("__sid").alias("sid")).alias("c"),
+    )
+    top = (
+        cand.groupBy(point_id)
+        .agg(F.slice(F.array_sort(F.collect_list("c")), 1, k).alias("top"))
+        .select(
+            point_id,
+            F.posexplode("top").alias("pos", "c"),
+        )
+        .select(
+            point_id,
+            F.col("c.sid").alias("site_id"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.sqrt(F.col("c.d2")).alias("dist"),
+            (F.sqrt(F.col("c.d2")) < F.lit(bound)).alias("certain"),
+        )
+    )
+    return top
+
+
 # ---------------------------------------------------------------------------
 # Distributed path: cell-bucketed ring expansion (both sides large)
 # ---------------------------------------------------------------------------

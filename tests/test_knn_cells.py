@@ -66,3 +66,28 @@ def test_knn_haversine_metric(spark):
     d = float(haversine_m(np.array([80.0]), np.array([0.0]),
                           np.array([80.0]), np.array([1.0]))[0])
     assert hav[0]["dist"] == pytest.approx(d, rel=1e-12)
+
+
+def test_knn_grid_no_broadcast(spark):
+    """Pure-Catalyst distributed kNN: certain rows must agree exactly
+    with the brute-force path; the plan must contain no Python node."""
+    sites = synth.sites(spark, 400)
+    ids = np.arange(2000)
+    _, lat, lon = synth.doc_coords(ids)
+    pts = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in ids[:600]],
+        "point_id long, lat double, lon double",
+    )
+    grid = knn.knn_join_grid(pts, sites, k=2, res=4, ring=1)
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # fully JVM-side
+    rows = grid.collect()
+    brute = knn.knn_join_broadcast(pts, sites, k=2,
+                                   point_cols=["point_id"]).collect()
+    want = {(r["point_id"], r["rank"]): r["site_id"] for r in brute}
+    n_certain = 0
+    for r in rows:
+        if r["certain"]:
+            n_certain += 1
+            assert want[(r["point_id"], r["rank"])] == r["site_id"]
+    assert n_certain > len(rows) * 0.5  # most points resolve in ring 1

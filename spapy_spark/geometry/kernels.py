@@ -142,6 +142,21 @@ def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def segment_lengths(coords: np.ndarray) -> np.ndarray:
+    """Per-segment lengths of a polyline — the reference's
+    GetSegmentLength utility (/root/reference/SpaBase.py:62-77,
+    duplicated at SpaVectors.py:69-85), vectorized."""
+    c = np.asarray(coords, dtype=np.float64)
+    return np.sqrt(((c[1:] - c[:-1]) ** 2).sum(axis=1))
+
+
+def xys_from_coords(coords: np.ndarray):
+    """(xs, ys) arrays from an (N,2) coordinate array — the reference's
+    GetXYsFromCoords (/root/reference/SpaBase.py:36-60)."""
+    c = np.asarray(coords, dtype=np.float64)
+    return c[:, 0].copy(), c[:, 1].copy()
+
+
 def ring_signed_area(ring: np.ndarray) -> float:
     ring = np.asarray(ring, dtype=np.float64)
     x, y = ring[:, 0], ring[:, 1]

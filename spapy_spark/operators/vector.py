@@ -69,6 +69,40 @@ def delete_attribute(df: DataFrame, name: str) -> DataFrame:
     return df.drop(name)
 
 
+def set_attribute_value(
+    df: DataFrame, key_col: str, key, name: str, value
+) -> DataFrame:
+    """SetAttributeValue (/root/reference/SpaVectors.py:576) — the
+    reference updates by row index; DataFrames have no row identity, so
+    the update keys on a caller-chosen column (SURVEY §2.2)."""
+    return df.withColumn(
+        name,
+        F.when(F.col(key_col) == F.lit(key), F.lit(value)).otherwise(
+            F.col(name)
+        ),
+    )
+
+
+def add_feature(df: DataFrame, row: dict, geometry: str = "geometry") -> DataFrame:
+    """AddFeature (/root/reference/SpaVectors.py:643) — append one
+    feature; geometry promoted per the reference's type rule
+    (Polygon→MultiPolygon etc., SpaVectors.py:659-663)."""
+    row = dict(row)
+    if geometry in row and row[geometry] is not None:
+        g = wkb.loads(bytes(row[geometry]))
+        row[geometry] = wkb.dumps(wkb.promote_multi(g))
+    one = df.sparkSession.createDataFrame(
+        [tuple(row.get(c) for c in df.columns)], schema=df.schema
+    )
+    return df.unionByName(one)
+
+
+def delete_feature(df: DataFrame, key_col: str, key) -> DataFrame:
+    """DeleteFeature (/root/reference/SpaVectors.py:631) keyed by a
+    caller-chosen id column."""
+    return df.filter(F.col(key_col) != F.lit(key))
+
+
 # ---------------------------------------------------------------------------
 # Geometry map ops (WKB → WKB pandas-batch transforms)
 # ---------------------------------------------------------------------------

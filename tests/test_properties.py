@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.2 item 5.
+
+PIP boundary cases, covering-superset (no false negatives from cell
+pruning), Morton round-trip, WKB round-trip, and the feature-edit
+parity wrappers.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from spapy_spark import cells
+from spapy_spark.geometry import kernels, wkb
+
+finite = st.floats(min_value=-179.99, max_value=179.99, allow_nan=False,
+                   width=64)
+lat_s = st.floats(min_value=-89.99, max_value=89.99, allow_nan=False,
+                  width=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=finite, lat=lat_s, res=st.integers(0, 20))
+def test_point_cell_contains_point(lon, lat, res):
+    """A point's cell bounds always cover the point (half-open top)."""
+    c = cells.latlon_to_cell(np.array([lat]), np.array([lon]), res)
+    lo, la, hi, ha = cells.cell_bounds(c)
+    assert lo[0] - 1e-9 <= lon < hi[0] + 1e-9
+    assert la[0] - 1e-9 <= lat < ha[0] + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=finite, lat=lat_s, res=st.integers(2, 20),
+       parent=st.integers(0, 10))
+def test_parent_prefix(lon, lat, res, parent):
+    """Truncating a cell to any coarser res equals encoding directly at
+    that res (the prefix property the join planner relies on)."""
+    pr = min(parent, res)
+    c = cells.latlon_to_cell(np.array([lat]), np.array([lon]), res)
+    direct = cells.latlon_to_cell(np.array([lat]), np.array([lon]), pr)
+    assert cells.cell_to_parent(c, pr)[0] == direct[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(cx=st.floats(-50, 50), cy=st.floats(-40, 40),
+       r=st.floats(0.1, 5.0), seed=st.integers(0, 10_000))
+def test_cover_superset_no_false_negatives(cx, cy, r, seed):
+    """Polygon covering ⊇ polygon: every interior point's cell is in
+    the covering (the exactness precondition of the cell join)."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(3, 9))
+    th = np.sort(rng.uniform(0, 2 * np.pi, k))
+    ring = np.column_stack([cx + r * np.cos(th), cy + r * np.sin(th)])
+    hull = kernels.convex_hull(ring)
+    if len(hull) < 4:
+        return
+    res = 8
+    cover = set(cells.polygon_cover([hull], res).tolist())
+    # sample interior points via rejection
+    pts = rng.uniform([hull[:, 0].min(), hull[:, 1].min()],
+                      [hull[:, 0].max(), hull[:, 1].max()], (64, 2))
+    inside = kernels.points_in_ring(pts[:, 0], pts[:, 1], hull)
+    for p in pts[inside]:
+        c = int(cells.latlon_to_cell(
+            np.array([p[1]]), np.array([p[0]]), res)[0])
+        assert c in cover
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(0, 100_000), n=st.integers(3, 30))
+def test_wkb_roundtrip_property(seed, n):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-180, 180, (n, 2))
+    for g in (
+        {"type": "LineString", "coordinates": coords},
+        {"type": "MultiPoint", "coordinates": coords},
+        wkb.polygon(coords),
+    ):
+        back = wkb.loads(wkb.dumps(g))
+        assert back["type"] == g["type"]
+        leafs_a = kernels._leaf_arrays(g)
+        leafs_b = kernels._leaf_arrays(back)
+        for a, b in zip(leafs_a, leafs_b):
+            np.testing.assert_array_equal(a, b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_pip_vertex_edge_interior_exterior(seed):
+    """The classic PIP boundary quartet: interior in, exterior out,
+    vertex/edge covered-by but not contained."""
+    rng = np.random.default_rng(seed)
+    x0, y0 = rng.uniform(-100, 100, 2)
+    w, h = rng.uniform(1, 20, 2)
+    ring = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                     [x0, y0 + h], [x0, y0]])
+    cx, cy = x0 + w / 2, y0 + h / 2
+    assert kernels.points_covered_by([cx], [cy], [ring])[0]
+    assert kernels.points_contained([cx], [cy], [ring])[0]
+    assert not kernels.points_covered_by([x0 - 1], [y0 - 1], [ring])[0]
+    # vertex + edge midpoint: covered, not contained
+    for px, py in ((x0, y0), (x0 + w / 2, y0)):
+        assert kernels.points_covered_by([px], [py], [ring])[0]
+        assert not kernels.points_contained([px], [py], [ring])[0]
+
+
+def test_feature_edit_wrappers(spark):
+    from spapy_spark.operators import vector
+
+    df = spark.createDataFrame(
+        [(0, "a", wkb.dumps(wkb.box(0, 0, 1, 1)))],
+        "fid long, name string, geometry binary",
+    )
+    grown = vector.add_feature(
+        df, {"fid": 1, "name": "b",
+             "geometry": wkb.dumps(wkb.polygon([[5, 5], [6, 5], [6, 6]]))},
+    )
+    assert grown.count() == 2
+    g = wkb.loads(bytes(
+        grown.where("fid = 1").collect()[0]["geometry"]))
+    assert g["type"] == "MultiPolygon"  # promotion rule applied
+    assert vector.delete_feature(grown, "fid", 0).count() == 1
+    upd = vector.set_attribute_value(grown, "fid", 1, "name", "z")
+    names = {r["fid"]: r["name"] for r in upd.collect()}
+    assert names == {0: "a", 1: "z"}
+    # segment-length / coords utilities (SpaBase parity)
+    line = np.array([[0.0, 0.0], [3.0, 4.0], [3.0, 8.0]])
+    np.testing.assert_allclose(kernels.segment_lengths(line), [5.0, 4.0])
+    xs, ys = kernels.xys_from_coords(line)
+    assert xs.tolist() == [0, 3, 3] and ys.tolist() == [0, 4, 8]

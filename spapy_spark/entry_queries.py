@@ -200,6 +200,20 @@ def q_pip_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("point_id", "zone_id").orderBy("point_id", "zone_id")
 
 
+def q_pip_zones_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join as pip_zones through the OTHER physical strategy: the
+    salted cell-prefix hash join (both-sides-large plan).  Sharing the
+    broadcast path's oracle proves the two strategies are row-exact
+    equivalents — the driver gate now checks strategy equivalence."""
+    pts = derived_points(spark, sf_dir)
+    zones = synth.zones(spark)
+    out = pip.pip_join_cells(
+        pts, zones, res=7, x="lon", y="lat", point_cols=["point_id"],
+        predicate="covers", salt=4,
+    )
+    return out.select("point_id", "zone_id").orderBy("point_id", "zone_id")
+
+
 def q_tiling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile assignment: Z-order cell per point, docs-per-tile counts."""
     pts = derived_points(spark, sf_dir)
@@ -614,6 +628,7 @@ def _raster_sample_oracle_sql() -> str:
 def build_queries() -> dict:
     return {
         "pip_zones": q_pip_zones,
+        "pip_zones_cells": q_pip_zones_cells,
         "tiling_counts": q_tiling_counts,
         "geocode_roundtrip": q_geocode_roundtrip,
         "knn_sites": q_knn_sites,
@@ -641,6 +656,7 @@ def build_oracle_sql() -> dict:
     stop_list = ",".join(f"'{w}'" for w in _STOPWORDS)
     return {
         "pip_zones": _pip_oracle_sql(),
+        "pip_zones_cells": _pip_oracle_sql(),
         "tiling_counts": (
             _morton_cte(PTS_SQL)
             + " SELECT cell, CAST(count(*) AS BIGINT) AS n FROM enc"

@@ -70,7 +70,8 @@ def test_every_query_has_an_oracle(entry_mod):
 @pytest.mark.parametrize(
     "name",
     [
-        "pip_zones", "tiling_counts", "geocode_roundtrip", "knn_sites",
+        "pip_zones", "pip_zones_cells", "tiling_counts",
+        "geocode_roundtrip", "knn_sites",
         "dedup_exact", "text_stats", "lang_counts", "tpch_q1",
         "top_customers", "events_hourly", "events_sequence",
         "pip_zone_stats", "quality_scores", "doc_fingerprint",

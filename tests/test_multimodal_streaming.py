@@ -77,3 +77,45 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert len(g) > 0
     for k, v in g.items():
         assert b[k] == v  # every emitted window matches the batch truth
+
+
+def test_streaming_pip_pipeline_matches_batch(spark, tmp_path):
+    """The streaming flagship (geocode→PIP over arriving crawl files)
+    must converge to the batch pipeline's exact zone counts, including
+    across a resume (second drain picks up only new files)."""
+    from pyspark.sql import functions as F
+
+    from spapy_spark.operators import geocode, pip
+    from spapy_spark.sources import synth
+    from spapy_spark.streaming import pipeline as sp
+
+    src = tmp_path / "crawl_in"
+    src.mkdir()
+    ledger = str(tmp_path / "ledger")
+    ck = str(tmp_path / "ck")
+    zones = synth.zones(spark)
+
+    # wave 1: first crawl chunk arrives
+    synth.webpages(spark, 3000, partitions=2).write.mode("append").parquet(
+        str(src)
+    )
+    stream = sp.read_webpages_stream(spark, str(src))
+    sp.run_pip_stream(stream, zones, ledger, ck)
+
+    # wave 2: more files arrive; a NEW drain resumes from the checkpoint
+    synth.webpages(spark, 2000, partitions=2).where(
+        F.col("url").isNotNull()
+    ).write.mode("append").parquet(str(src))
+    stream2 = sp.read_webpages_stream(spark, str(src))
+    sp.run_pip_stream(stream2, zones, ledger, ck)
+
+    got = {r["zone_id"]: r["n_docs"]
+           for r in sp.zone_totals(spark, ledger).collect()}
+
+    # batch oracle over everything that arrived
+    all_docs = spark.read.parquet(str(src))
+    geo = geocode.geocode_coords(all_docs).where(
+        F.col("lat").isNotNull()).select("lat", "lon")
+    want = {r["zone_id"]: r["n_docs"]
+            for r in pip.pip_count_by_zone(geo, zones).collect()}
+    assert got == want and len(want) > 10

@@ -95,6 +95,7 @@ def main():
             if os.environ.get("SPARK_GRAFT_BENCH_ONLY_FLAGSHIP")
             else (
                 "pip_zones",
+                "pip_zones_cells",
                 "tiling_counts",
                 "geocode_roundtrip",
                 "knn_sites",

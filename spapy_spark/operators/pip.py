@@ -419,7 +419,9 @@ def pip_join_cells(
     """
     if point_cols is None:
         point_cols = [c for c in points.columns if c not in (x, y)]
-    zc = zone_cell_covering(zones, res, zone_id, geometry)
+    # cache: the covering feeds both the level-collect and the join —
+    # without it the polyfill UDF runs twice end-to-end
+    zc = zone_cell_covering(zones, res, zone_id, geometry).cache()
     # distinct covering resolutions actually present (giant zones coarsen);
     # tiny collect on the small aggregated set — drives the prefix walk
     levels = sorted(

@@ -326,7 +326,21 @@ def boolean_op(g1: dict, g2: dict, op: str) -> dict | None:
         for e1, h1 in p1:
             for e2, h2 in p2:
                 outs, marks = _split_marks(clip_rings(e1, e2, "intersection"))
-                cur = [(o, list(marks) if len(outs) == 1 else []) for o in outs]
+                if len(outs) <= 1:
+                    cur = [(o, list(marks)) for o in outs]
+                else:
+                    # multiple outer components (interlocking concave
+                    # shapes): assign each hole mark to its containing
+                    # component by midpoint test, as _subtract_ring does
+                    cur = [
+                        (o, [
+                            h for h in marks
+                            if kernels.points_in_ring(
+                                np.array([(h[0][0] + h[1][0]) / 2]),
+                                np.array([(h[0][1] + h[1][1]) / 2]), o)[0]
+                        ])
+                        for o in outs
+                    ]
                 for h in list(h1) + list(h2):
                     cur = _subtract_ring(cur, h)
                 parts.extend(cur)

@@ -226,6 +226,134 @@ def knn_join_grid(
     return top
 
 
+def within_distance(
+    points: DataFrame,
+    sites: DataFrame,
+    d: float,
+    res: int = 6,
+    x: str = "lon",
+    y: str = "lat",
+    point_id: str = "point_id",
+    site_id: str = "site_id",
+    sx: str = "x",
+    sy: str = "y",
+) -> DataFrame:
+    """Distance-within (range/theta) join — every (point, site) pair
+    with planar distance ≤ ``d``, via the buffered cell covering named
+    in SURVEY §2.4: sites bucket at one cell each; points explode to
+    the (2·rx+1)×(2·ry+1) cell neighborhood that provably covers a
+    radius-``d`` disc; equi-join on the cell + exact distance filter.
+
+    Pure Catalyst (no Python, no broadcast): both sides can be
+    arbitrarily large; the shuffle key is the cell, and the explosion
+    factor is fixed by d/cell size, so the plan scales linearly.
+    The reference has no range join (nearest-neighbor gap, SURVEY
+    §2.4); this is new engine surface.
+    """
+    import math
+
+    n = 1 << res
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    rx = int(math.ceil(d / cell_w))
+    ry = int(math.ceil(d / cell_h))
+
+    def cell_ij(lon_c, lat_c):
+        ix = F.least(
+            F.greatest(F.floor((lon_c + 180.0) / 360.0 * n), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long")
+        iy = F.least(
+            F.greatest(F.floor((lat_c + 90.0) / 180.0 * n), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long")
+        return ix, iy
+
+    s_ix, s_iy = cell_ij(F.col(sx), F.col(sy))
+    s = sites.select(
+        F.col(site_id).alias("__sid"), F.col(sx).alias("__sx"),
+        F.col(sy).alias("__sy"), (s_ix * n + s_iy).alias("__cell"),
+    )
+    p_ix, p_iy = cell_ij(F.col(x), F.col(y))
+    offs = [(dy, dx) for dy in range(-ry, ry + 1) for dx in range(-rx, rx + 1)]
+    cells_arr = F.array(*[
+        F.when(
+            ((p_iy + dy) >= 0) & ((p_iy + dy) < n),
+            F.pmod(p_ix + dx, F.lit(n)) * n + (p_iy + dy),
+        )
+        for dy, dx in offs
+    ])
+    p = points.select(
+        F.col(point_id), F.col(x).alias("__px"), F.col(y).alias("__py"),
+        F.explode(cells_arr).alias("__cell"),
+    ).where(F.col("__cell").isNotNull())
+    j = p.join(s, "__cell")
+    d2 = (F.col("__px") - F.col("__sx")) ** 2 + (
+        F.col("__py") - F.col("__sy")
+    ) ** 2
+    return (
+        j.where(d2 <= F.lit(float(d) * float(d)))
+        .select(point_id, F.col("__sid").alias("site_id"),
+                F.sqrt(d2).alias("dist"))
+    )
+
+
+def knn_join_grid_total(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int = 1,
+    res: int = 4,
+    start_ring: int = 1,
+    x: str = "lon",
+    y: str = "lat",
+    point_id: str = "point_id",
+    site_id: str = "site_id",
+    sx: str = "x",
+    sy: str = "y",
+) -> DataFrame:
+    """Total-answer wrapper over :func:`knn_join_grid`: escalates the
+    search ``ring`` (doubling) for the points whose top-k is not yet
+    provably final, until every point has k certain rows or the ring
+    covers the whole grid.  The uncertain remainder shrinks
+    geometrically, so the extra passes touch a vanishing fraction of
+    the data — the fully-distributed kNN plan with a completeness
+    guarantee (VERDICT r1 item 4).
+
+    Output: (point_id, site_id, rank, dist) — same shape/tie-break as
+    ``knn_join_broadcast``, no ``certain`` column (always total).
+    """
+    n = 1 << res
+    out_cols = [point_id, "site_id", "rank", "dist"]
+    results = []
+    remaining = points.select(point_id, x, y)
+    ring = start_ring
+    while True:
+        out = knn_join_grid(
+            remaining, sites, k=k, res=res, ring=ring, x=x, y=y,
+            point_id=point_id, site_id=site_id, sx=sx, sy=sy,
+        )
+        if 2 * ring + 1 >= n:
+            # neighborhood covers every cell — answers are final
+            results.append(out.select(*out_cols))
+            break
+        out = out.persist()
+        flags = out.groupBy(point_id).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.col("certain").cast("int")).alias("__allc"),
+        )
+        done = flags.where(
+            (F.col("__n") == k) & (F.col("__allc") == 1)
+        ).select(point_id)
+        results.append(out.join(done, point_id, "semi").select(*out_cols))
+        remaining = remaining.join(done, point_id, "anti").persist()
+        if remaining.limit(1).count() == 0:
+            break
+        ring *= 2
+    acc = results[0]
+    for r in results[1:]:
+        acc = acc.unionByName(r)
+    return acc
+
+
 # ---------------------------------------------------------------------------
 # Distributed path: cell-bucketed ring expansion (both sides large)
 # ---------------------------------------------------------------------------

@@ -81,10 +81,14 @@ def _buf(b: bytes, h: int, w: int) -> np.ndarray:
     return np.frombuffer(bytes(b), dtype="<f4").reshape(h, w)
 
 
-def _masked_apply(fn, a, b, nodata):
+def _masked_apply(fn, a, b, nodata, nodata_b=None):
+    """Apply fn over masked buffers; each side masked against its OWN
+    nodata (reference ORs per-raster masks, SpaRasters.py:750,2146-2156)
+    and the output stamped with raster A's nodata."""
     mask = np.equal(a, np.float32(nodata))
     if isinstance(b, np.ndarray):
-        mask |= np.equal(b, np.float32(nodata))
+        nb = nodata if nodata_b is None else nodata_b
+        mask |= np.equal(b, np.float32(nb))
     with np.errstate(all="ignore"):
         out = fn(a.astype(np.float64), b if not isinstance(b, np.ndarray)
                  else b.astype(np.float64))
@@ -123,7 +127,7 @@ def map_algebra(
                 for r in pdf.itertuples(index=False):
                     a = _buf(r.pixels, r.height, r.width)
                     bb = _buf(r.pixels_b, r.height, r.width)
-                    out, _ = _masked_apply(fn, a, bb, r.nodata)
+                    out, _ = _masked_apply(fn, a, bb, r.nodata, r.nodata_b)
                     outs.append(out.tobytes())
                 res = pdf.drop(columns=["pixels_b", "nodata_b"]).copy()
                 res["pixels"] = outs

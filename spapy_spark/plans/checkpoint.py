@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -115,15 +116,20 @@ class CheckpointRunner:
                 yield pdf
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else -1
+            # retried/speculative tasks write distinct attempt files;
+            # lineage() keeps only the highest attempt per partition
+            att = ctx.taskAttemptId() if ctx is not None else 0
             rec = pd.DataFrame(
                 {
                     "partition_id": [pid],
+                    "attempt_id": [int(att)],
                     "rows_out": [rows],
                     "wall_ms": [int((time.time() - t0) * 1000)],
                 }
             )
             rec.to_parquet(
-                os.path.join(metrics_dir, f"part-{pid}.parquet"), index=False
+                os.path.join(metrics_dir, f"part-{pid}-{att}.parquet"),
+                index=False,
             )
 
         return df.mapInPandas(wrap, schema=schema)
@@ -154,6 +160,9 @@ class CheckpointRunner:
                     print(f"[checkpoint] skip {st.name} (complete)")
                 continue
             os.makedirs(sdir, exist_ok=True)
+            # rerunning a stage overwrites data but appends metrics —
+            # clear stale lineage so a rerun never mixes two runs' rows
+            shutil.rmtree(mdir, ignore_errors=True)
             t0 = time.time()
             df = st.fn(self.spark, *[outputs[p] for p in st.parents])
             wrapped = self._with_metrics(df, mdir)
@@ -177,11 +186,21 @@ class CheckpointRunner:
         return outputs
 
     def lineage(self, stage: str) -> pd.DataFrame:
-        """Per-partition lineage rows recorded during the stage's run."""
+        """Per-partition lineage rows recorded during the stage's run.
+
+        Task retries/speculation leave multiple attempt files per
+        partition; only the last attempt (the one whose output the
+        committed write kept) is reported."""
         import glob
 
         files = glob.glob(os.path.join(self.base, stage, "metrics", "*.parquet"))
-        return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        df = (
+            df.sort_values("attempt_id")
+            .groupby("partition_id", as_index=False)
+            .last()
+        )
+        return df.drop(columns=["attempt_id"])
 
     def manifest(self, stage: str) -> dict | None:
         return _read_manifest(self.base, stage)

@@ -40,9 +40,13 @@ def run_pip_stream(
             F.col("lat").isNotNull()
         ).select("lat", "lon")
         counts = pip.pip_count_by_zone(geo, zones)
-        counts.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(ledger_dir)
+        # foreachBatch is at-least-once: a batch replayed after a crash
+        # between sink write and checkpoint commit must not double-count.
+        # Writing each batch to its own batch_id=<id> partition dir with
+        # overwrite makes the replay idempotent (same path, same rows).
+        counts.write.mode("overwrite").parquet(
+            f"{ledger_dir}/batch_id={batch_id}"
+        )
 
     (
         docs_stream.writeStream.foreachBatch(process)

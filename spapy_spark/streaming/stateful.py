@@ -41,22 +41,29 @@ def track_sessions(
 ) -> DataFrame:
     """events stream → running (user_id, n_sessions, n_events)."""
 
+    gap_us = int(gap_seconds) * 1_000_000
+
     def fold(key, pdfs, state: GroupState):
+        import numpy as np
+
         (user_id,) = key
         if state.exists:
             last_ts, n_sessions, n_events = state.get
         else:
             last_ts, n_sessions, n_events = None, 0, 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ep = pdf["ts"].astype("int64").to_numpy() // 1_000_000_000
-            import numpy as np
-
+        # applyInPandasWithState guarantees no ordering across (or even
+        # within) Arrow chunks of a group — concatenate ALL chunks and
+        # sort once, then compare microsecond gaps strictly, exactly as
+        # the batch oracle (operators/sessionize.py) does.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            ep = pdf["ts"].astype("int64").to_numpy() // 1_000  # ns → µs
             gaps = np.diff(ep)
-            n_sessions += int((gaps > gap_seconds).sum())
-            if last_ts is None or ep[0] - last_ts > gap_seconds:
+            n_sessions += int((gaps > gap_us).sum())
+            if last_ts is None or ep[0] - last_ts > gap_us:
                 n_sessions += 1
             last_ts = int(ep[-1])
             n_events += len(ep)

@@ -417,9 +417,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     docs = load(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, shingle_len=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.jaccard_pairs(
+        docs, shingle_len=3, threshold=0.5, max_df=50
+    ).orderBy("id_a", "id_b")
 
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,8 +559,12 @@ def _jaccard_oracle_sql() -> str:
         " FROM documents WHERE len(string_split(text, ' ')) >= 3),"
         " pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2))"
         " AS i FROM d),"
-        " sh AS (SELECT DISTINCT doc_id,"
+        " sh0 AS (SELECT DISTINCT doc_id,"
         " l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh FROM pos),"
+        # hot-shingle cap (max_df=50) mirrors the engine's capped-
+        # vocabulary Jaccard
+        " keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),"
+        " sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),"
         " sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh"
         " GROUP BY doc_id),"
         " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
@@ -649,7 +653,20 @@ def build_queries() -> dict:
         "raster_sample": q_raster_sample,
         "events_sessions": q_events_sessions,
         "lang_ngram": q_lang_ngram,
+        **_round2_queries(),
     }
+
+
+def _round2_queries() -> dict:
+    from . import entry_queries2
+
+    return entry_queries2.build_queries()
+
+
+def _round2_oracles() -> dict:
+    from . import entry_queries2
+
+    return entry_queries2.build_oracle_sql()
 
 
 def build_oracle_sql() -> dict:
@@ -776,6 +793,7 @@ def build_oracle_sql() -> dict:
         "raster_sample": _raster_sample_oracle_sql(),
         "events_sessions": _SESSIONS_SQL,
         "lang_ngram": _lang_ngram_oracle_sql(),
+        **_round2_oracles(),
     }
 
 

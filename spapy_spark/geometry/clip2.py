@@ -272,12 +272,17 @@ def clip_rings(subject, clip, op: str):
         if not np.array_equal(clip[0], clip[-1]) else clip
     ) < 0:
         clip = clip[::-1]
-    for attempt in range(4):
+    base = clip
+    for attempt in range(7):
         try:
             return _clip_once(subject, clip, op)
         except _Degenerate:
-            bump = 1e-9 * (attempt + 1)
-            clip = clip + np.array([[bump, bump * 0.7]])
+            # geometric bump growth escapes clustered degeneracies the
+            # linear schedule couldn't (accumulated union folds leave
+            # vertices ~1e-9 apart); capped at 1e-7 — still far below
+            # any join-key/area resolution the engine promises
+            bump = min(1e-9 * 4.0 ** attempt, 1e-7)
+            clip = base + np.array([[bump, bump * 0.7]])
     raise ValueError("unresolvable degenerate polygon configuration")
 
 

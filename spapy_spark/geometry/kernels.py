@@ -677,12 +677,21 @@ def rects_fully_inside_ring(
 # ---------------------------------------------------------------------------
 
 
-def point_buffer_ring(x: float, y: float, radius: float, quad_segs: int = 16) -> np.ndarray:
+def point_buffer_ring(x: float, y: float, radius: float, quad_segs: int = 16,
+                      phase: float = 0.0) -> np.ndarray:
     """Regular n-gon approximating a circle (shapely's quad_segs=16 →
     64-gon; /root/reference/SpaVectors.py:790-818 delegates to GEOS
-    buffer which uses the same fan approximation)."""
+    buffer which uses the same fan approximation).
+
+    ``phase`` rotates the vertex fan (radians).  The Minkowski buffer
+    passes a half-segment offset so disc vertices never coincide with
+    edge-rectangle corners (axis directions), which would otherwise
+    feed maximally-degenerate shared-vertex configurations to the
+    Greiner–Hormann union.  The n-gon area 0.5·n·r²·sin(2π/n) is
+    phase-invariant, as is the corner-wedge decomposition (the wedge
+    cuts pass through the disc center)."""
     n = max(4, 4 * quad_segs)
-    th = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    th = np.linspace(0.0, 2 * np.pi, n, endpoint=False) + phase
     ring = np.column_stack([x + radius * np.cos(th), y + radius * np.sin(th)])
     return np.vstack([ring, ring[:1]])
 

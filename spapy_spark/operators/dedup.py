@@ -129,6 +129,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (token shingle) Jaccard over all colliding pairs.
 
@@ -136,6 +137,13 @@ def jaccard_pairs(
     intersection counts → |A∪B| = |A|+|B|−|A∩B|.  Output (id_a, id_b,
     inter, union_n) with Jaccard ≥ threshold, integer counts only
     (the caller divides; keeps the oracle FP-free).
+
+    ``max_df`` caps shingle document frequency: shingles present in
+    more than ``max_df`` documents are dropped from the vocabulary
+    (both sizes and intersections — capped-vocabulary Jaccard, the
+    standard stop-phrase guard).  Without it one ubiquitous shingle
+    makes the self-join reducer quadratic in the corpus; with it the
+    candidate pair space stays near-linear at any scale.
     """
     src = df.where(
         F.size(F.split(F.col(text_col), " ")) >= shingle_len
@@ -151,6 +159,14 @@ def jaccard_pairs(
             )
         ).alias("sh"),
     ).distinct()
+    if max_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")

@@ -48,6 +48,20 @@ def _out_schema(points: DataFrame, point_cols: list[str]) -> StructType:
     )
 
 
+# soft cap on the transient distance-matrix footprint per task (the
+# r1 audit flagged the unchunked N×S matrix: 10k-row Arrow batches ×
+# 10^5 sites = 8 GB; chunking the site axis bounds it at ~64 MB)
+_TOPK_BLOCK_BYTES = 64 * 1024 * 1024
+
+
+def _dist_block(px, py, sx, sy, metric):
+    from ..geometry.kernels import haversine_m
+
+    if metric == "haversine":
+        return haversine_m(py[:, None], px[:, None], sy[None, :], sx[None, :])
+    return (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
+
+
 def _topk_block(
     px: np.ndarray,
     py: np.ndarray,
@@ -64,32 +78,40 @@ def _topk_block(
     degree space (dist output = sqrt); metric='haversine' ranks by
     great-circle meters (kernels.haversine_m) — the geodesic-correct
     variant for geographic coordinates.
-    """
-    from ..geometry.kernels import haversine_m
 
+    The site axis is processed in chunks with a running per-point
+    top-k fold, so memory is O(n·chunk), not O(n·S) — the 10^5-site
+    broadcast plan stays within task memory.
+    """
     n, s = len(px), len(sx)
     kk = min(k, s)
-    if metric == "haversine":
-        d2 = haversine_m(
-            py[:, None], px[:, None], sy[None, :], sx[None, :]
-        )
-    else:
-        d2 = (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
-    if kk < s:
-        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-    else:
-        part = np.broadcast_to(np.arange(s), (n, s)).copy()
-    pd2 = np.take_along_axis(d2, part, axis=1)
-    psid = sid[part]
-    # stable (dist, site_id) ordering inside the k-subset
-    order = np.lexsort((psid, pd2))
+    if n == 0 or kk == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, np.empty(0, np.float64)
+    chunk = max(kk, min(s, int(_TOPK_BLOCK_BYTES / (8 * max(n, 1)))))
+    best_d = np.full((n, kk), np.inf)
+    best_s = np.full((n, kk), np.iinfo(np.int64).max, dtype=np.int64)
+    for lo in range(0, s, chunk):
+        hi = min(lo + chunk, s)
+        d2 = _dist_block(px, py, sx[lo:hi], sy[lo:hi], metric)
+        c = hi - lo
+        kc = min(kk, c)
+        if kc < c:
+            part = np.argpartition(d2, kc - 1, axis=1)[:, :kc]
+            cd = np.take_along_axis(d2, part, axis=1)
+            cs = sid[lo:hi][part]
+        else:
+            cd = d2
+            cs = np.broadcast_to(sid[lo:hi], (n, c))
+        alld = np.concatenate([best_d, cd], axis=1)
+        alls = np.concatenate([best_s, cs], axis=1)
+        order = np.lexsort((alls, alld), axis=1)[:, :kk]
+        best_d = np.take_along_axis(alld, order, axis=1)
+        best_s = np.take_along_axis(alls, order, axis=1)
     rows = np.repeat(np.arange(n), kk)
-    ordered = part[np.arange(n)[:, None], order.reshape(n, kk)]
-    out_sid = sid[ordered].ravel()
-    out_d2 = np.take_along_axis(d2, ordered, axis=1).ravel()
     ranks = np.tile(np.arange(1, kk + 1, dtype=np.int64), n)
-    dist = out_d2 if metric == "haversine" else np.sqrt(out_d2)
-    return rows, out_sid, ranks, dist
+    dist = best_d.ravel() if metric == "haversine" else np.sqrt(best_d.ravel())
+    return rows, best_s.ravel(), ranks, dist
 
 
 def knn_join_broadcast(
@@ -185,25 +207,41 @@ def knn_join_grid(
         F.col(sy).alias("__sy"),
         (s_ix * n + s_iy).alias("__cell"),
     )
+    # quantize ONCE into named columns, then explode compact Δ
+    # sequences — keeps the Catalyst expression tree O(1) in ``ring``
+    # (an inline (2r+1)² CASE array repeats the quantizer per branch
+    # and blows up codegen/driver memory for large rings)
     p_ix, p_iy = cell_ij(F.col(x), F.col(y))
-    offs = [(dy, dx) for dy in range(-ring, ring + 1)
-            for dx in range(-ring, ring + 1)]
-    # lat rows outside the grid yield NULL (dropped); lon wraps
-    cells_arr = F.array(*[
-        F.when(
-            ((p_iy + dy) >= 0) & ((p_iy + dy) < n),
-            F.pmod(p_ix + dx, F.lit(n)) * n + (p_iy + dy),
-        )
-        for dy, dx in offs
-    ])
-    p = points.select(
+    p0 = points.select(
         F.col(point_id), F.col(x).alias("__px"), F.col(y).alias("__py"),
-        F.explode(cells_arr).alias("__cell"),
-    ).where(F.col("__cell").isNotNull())
+        p_ix.alias("__ix"), p_iy.alias("__iy"),
+    )
+    # lat rows outside the grid are dropped; lon wraps
+    p = (
+        p0.select(
+            "*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("__dy")
+        )
+        .where(
+            ((F.col("__iy") + F.col("__dy")) >= 0)
+            & ((F.col("__iy") + F.col("__dy")) < n)
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("__dx")
+        )
+        .select(
+            F.col(point_id), F.col("__px"), F.col("__py"),
+            (
+                F.pmod(F.col("__ix") + F.col("__dx"), F.lit(n)) * n
+                + (F.col("__iy") + F.col("__dy"))
+            ).alias("__cell"),
+        )
+    )
     j = p.join(s, "__cell")
-    d2 = (F.col("__px") - F.col("__sx")) ** 2 + (
-        F.col("__py") - F.col("__sy")
-    ) ** 2
+    # explicit multiplication (not pow): bit-identical to the SQL
+    # oracle's (dx*dx + dy*dy) on every engine
+    dx = F.col("__px") - F.col("__sx")
+    dy = F.col("__py") - F.col("__sy")
+    d2 = dx * dx + dy * dy
     cand = j.select(
         point_id,
         F.struct(d2.alias("d2"), F.col("__sid").alias("sid")).alias("c"),
@@ -287,9 +325,9 @@ def within_distance(
         F.explode(cells_arr).alias("__cell"),
     ).where(F.col("__cell").isNotNull())
     j = p.join(s, "__cell")
-    d2 = (F.col("__px") - F.col("__sx")) ** 2 + (
-        F.col("__py") - F.col("__sy")
-    ) ** 2
+    dx = F.col("__px") - F.col("__sx")
+    dy = F.col("__py") - F.col("__sy")
+    d2 = dx * dx + dy * dy
     return (
         j.where(d2 <= F.lit(float(d) * float(d)))
         .select(point_id, F.col("__sid").alias("site_id"),
@@ -344,7 +382,9 @@ def knn_join_grid_total(
             (F.col("__n") == k) & (F.col("__allc") == 1)
         ).select(point_id)
         results.append(out.join(done, point_id, "semi").select(*out_cols))
-        remaining = remaining.join(done, point_id, "anti").persist()
+        # localCheckpoint truncates the anti-join lineage chain so the
+        # plan (and AQE re-optimization cost) stays O(1) per pass
+        remaining = remaining.join(done, point_id, "anti").localCheckpoint()
         if remaining.limit(1).count() == 0:
             break
         ring *= 2

@@ -56,6 +56,10 @@ def _fake_decode(payload: bytes, width: int, height: int, channels: int) -> np.n
     return np.tile(raw, reps)[:need].reshape(height, width, channels)
 
 
+def _md(m) -> dict:
+    return dict(m) if isinstance(m, dict) else dict(m._asdict())
+
+
 def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
     """Decode one image payload → (H, W, C) uint8.
 
@@ -92,23 +96,37 @@ def image_features(
 
     def run(batches):
         for pdf in batches:
-            ids, feats = [], []
-            for r in pdf.itertuples(index=False):
-                m = getattr(r, meta)
-                md = m if isinstance(m, dict) else m._asdict()
-                img = decode_image(bytes(getattr(r, payload)), md, fake=fake)
-                hist = []
-                for c in range(img.shape[2]):
-                    h, _ = np.histogram(
-                        img[:, :, c], bins=n_bins, range=(0, 256)
-                    )
-                    s = h.sum()
-                    hist.append(h / s if s else h)
-                ids.append(getattr(r, id_col))
-                feats.append(
-                    np.concatenate(hist).astype(np.float32).tolist()
-                )
-            yield pd.DataFrame({id_col: ids, "features": feats})
+            if len(pdf) == 0:
+                continue
+            metas = [_md(m) for m in pdf[meta]]
+            # decode is per-item (the codec seam); everything after is
+            # ONE vectorized pass over the whole batch's pixels
+            imgs = [
+                decode_image(bytes(p), md, fake=fake)
+                for p, md in zip(pdf[payload], metas)
+            ]
+            chans = np.array([im.shape[2] for im in imgs], dtype=np.int64)
+            sizes = np.array([im.size for im in imgs], dtype=np.int64)
+            # global histogram slot per pixel:
+            #   img_base + channel·n_bins + val·n_bins//256
+            base = np.concatenate([[0], np.cumsum(chans)]) * n_bins
+            flat = np.concatenate([im.ravel() for im in imgs])  # C-fastest
+            cidx = np.concatenate(
+                [np.arange(sz) % c for sz, c in zip(sizes, chans)]
+            )
+            slot = (
+                np.repeat(base[:-1], sizes)
+                + cidx * n_bins
+                + flat.astype(np.int64) * n_bins // 256
+            )
+            counts = np.bincount(slot, minlength=int(base[-1]))
+            feats = []
+            for j in range(len(imgs)):
+                h = counts[base[j] : base[j + 1]].reshape(chans[j], n_bins)
+                s = h.sum(axis=1, keepdims=True)
+                norm = np.where(s > 0, h / np.maximum(s, 1), h)
+                feats.append(norm.ravel().astype(np.float32).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.mapInPandas(run, schema=out_schema)
 
@@ -129,15 +147,30 @@ def resize_images(
 
     def run(batches):
         for pdf in batches:
-            payloads, metas = [], []
-            for r in pdf.itertuples(index=False):
-                m = getattr(r, meta)
-                md = dict(m if isinstance(m, dict) else m._asdict())
-                img = decode_image(bytes(getattr(r, payload)), md, fake=fake)
-                ys = (np.arange(out_h) * md["height"] // out_h).astype(int)
-                xs = (np.arange(out_w) * md["width"] // out_w).astype(int)
-                res = img[np.ix_(ys, xs)]
-                payloads.append(res.tobytes())
+            if len(pdf) == 0:
+                continue
+            mds = [_md(m) for m in pdf[meta]]
+            imgs = [
+                decode_image(bytes(p), md, fake=fake)
+                for p, md in zip(pdf[payload], mds)
+            ]
+            # one stacked gather per distinct input shape (images in a
+            # crawl batch cluster into few shape groups; the gather is
+            # a single vectorized fancy-index over the whole stack)
+            payloads = [None] * len(imgs)
+            groups: dict = {}
+            for j, im in enumerate(imgs):
+                groups.setdefault(im.shape, []).append(j)
+            for (h, w, c), idxs in groups.items():
+                stack = np.stack([imgs[j] for j in idxs])
+                ys = np.arange(out_h) * h // out_h
+                xs = np.arange(out_w) * w // out_w
+                res = stack[:, ys[:, None], xs[None, :], :]
+                for pos, j in enumerate(idxs):
+                    payloads[j] = res[pos].tobytes()
+            metas = []
+            for md in mds:
+                md = dict(md)
                 md.update(width=out_w, height=out_h)
                 metas.append(md)
             out = pdf.copy()
@@ -172,23 +205,32 @@ def frame_sample(
 
     def run(batches):
         for pdf in batches:
-            ids, idxs, pls, metas = [], [], [], []
-            for r in pdf.itertuples(index=False):
-                m = getattr(r, meta)
-                md = dict(m if isinstance(m, dict) else m._asdict())
-                n = md.get("n_frames") or 1
-                buf = bytes(getattr(r, payload))
-                step = max(1, len(buf) // n)
-                for fi in range(0, n, every_n):
-                    frame = buf[fi * step : (fi + 1) * step]
-                    fm = dict(md)
-                    fm["n_frames"] = 1
-                    ids.append(getattr(r, id_col))
-                    idxs.append(fi)
-                    pls.append(frame)
-                    metas.append(fm)
+            if len(pdf) == 0:
+                continue
+            mds = [_md(m) for m in pdf[meta]]
+            bufs = [bytes(b) for b in pdf[payload]]
+            nf = np.array([md.get("n_frames") or 1 for md in mds], np.int64)
+            steps = np.array(
+                [max(1, len(b) // n) for b, n in zip(bufs, nf)], np.int64
+            )
+            per_row = (nf + every_n - 1) // every_n  # frames kept per row
+            row_of = np.repeat(np.arange(len(pdf)), per_row)
+            # frame index within each row: global arange minus the
+            # row's running offset, times the stride
+            offs = np.concatenate([[0], np.cumsum(per_row)])[:-1]
+            fidx = (np.arange(len(row_of)) - offs[row_of]) * every_n
+            pls = [
+                bufs[j][fi * steps[j] : (fi + 1) * steps[j]]
+                for j, fi in zip(row_of, fidx)
+            ]
+            metas = [dict(mds[j], n_frames=1) for j in row_of]
             yield pd.DataFrame(
-                {id_col: ids, "frame_idx": idxs, payload: pls, meta: metas}
+                {
+                    id_col: pdf[id_col].to_numpy()[row_of],
+                    "frame_idx": fidx.astype(np.int32),
+                    payload: pls,
+                    meta: metas,
+                }
             )
 
     return df.mapInPandas(run, schema=out_schema)

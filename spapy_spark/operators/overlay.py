@@ -367,6 +367,7 @@ def overlay_join(
     left_id: str = "left_id",
     right_id: str = "right_id",
     geometry: str = "geometry",
+    force_general: bool = False,
 ) -> DataFrame:
     """Pairwise overlay for all relevant pairs, reference semantics
     (/root/reference/SpaVectors.py:901-1004): one output row per pair
@@ -379,8 +380,18 @@ def overlay_join(
     pair space is the full cross product — exactly the reference's
     O(N·M) output, distributed.  Convexity requirements per op are
     documented on the kernels.
+
+    ``force_general=True`` bypasses the convex fast paths and routes
+    every pair through the general Greiner–Hormann composition
+    (geometry/clip2.boolean_op) — the strategy-equivalence hook: both
+    paths must produce identical results on convex inputs.
     """
-    fn = _OVERLAY_KERNELS.get(op)
+    if force_general:
+        from ..geometry import clip2
+
+        fn = lambda g1, g2: clip2.boolean_op(g1, g2, op)  # noqa: E731
+    else:
+        fn = _OVERLAY_KERNELS.get(op)
     if fn is None:
         raise ValueError(f"unknown overlay op {op!r}")
     if op == "intersection":

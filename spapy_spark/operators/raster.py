@@ -253,6 +253,44 @@ def band_stats(tiles: DataFrame) -> DataFrame:
     )
 
 
+def tile_stats(tiles: DataFrame) -> DataFrame:
+    """Mask-aware per-tile stats (tile_y, tile_x, n_valid, sum, min,
+    max) — the map-side partial of :func:`band_stats` exposed as its
+    own operator (per-tile QA / progress maps).  One pass, no shuffle:
+    each tile row reduces to one stat row in place."""
+    schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("tile_y", tiles.schema["tile_y"].dataType, False),
+        StructField("tile_x", tiles.schema["tile_x"].dataType, False),
+        StructField("n_valid", LongType(), False),
+        StructField("sum", DoubleType(), True),
+        StructField("min", DoubleType(), True),
+        StructField("max", DoubleType(), True),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                valid = a[~np.equal(a, np.float32(r.nodata))].astype(np.float64)
+                if len(valid) == 0:
+                    rows.append((r.raster_id, r.band, r.tile_y, r.tile_x,
+                                 0, None, None, None))
+                else:
+                    rows.append((
+                        r.raster_id, r.band, r.tile_y, r.tile_x,
+                        int(len(valid)), float(valid.sum()),
+                        float(valid.min()), float(valid.max()),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "tile_y", "tile_x", "n_valid",
+                "sum", "min", "max"])
+
+    return tiles.mapInPandas(run, schema=schema)
+
+
 def histogram(tiles: DataFrame, bins: int = 10) -> DataFrame:
     """Two-pass histogram: global min/max agg, then per-tile bincount
     partials combined by bucket (reference SpaRasters.py:571-620)."""

@@ -156,6 +156,10 @@ def buffer_geom(g: dict, amount: float, quad_segs: int = 16) -> dict | None:
         return wkb.promote_multi({"type": "Polygon", "coordinates": [ring]})
     if t not in ("Polygon", "MultiPolygon"):
         return None
+    # half-segment phase: disc vertices avoid the axis directions, so
+    # the union fold never sees exact disc-vertex/rect-corner
+    # coincidences (area identities are phase-invariant)
+    phase = np.pi / max(4, 4 * quad_segs)
     acc = None
     for rings in wkb.polygons_of(g):
         ext = np.asarray(rings[0], dtype=np.float64)
@@ -178,7 +182,8 @@ def buffer_geom(g: dict, amount: float, quad_segs: int = 16) -> dict | None:
             pieces.append({
                 "type": "Polygon",
                 "coordinates": [kernels.point_buffer_ring(
-                    float(a[0]), float(a[1]), amount, quad_segs)],
+                    float(a[0]), float(a[1]), amount, quad_segs,
+                    phase=phase)],
             })
         part = pieces[0]
         for p in pieces[1:]:

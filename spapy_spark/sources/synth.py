@@ -390,6 +390,31 @@ def alg_raster_tiles(spark):
     return spark.createDataFrame(rows, schema=RASTER_SCHEMA)
 
 
+ALG2_NODATA = -5555.0
+
+
+def alg2_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Second integer-exact algebraic raster (map-algebra oracle pair);
+    ~1% nodata on its OWN nodata value (≠ alg's −9999) so the
+    per-raster mask semantics (reference SpaRasters.py:2146-2156) are
+    oracle-checked, not just unit-tested."""
+    v = (((gx * 13 + gy * 7) % 500) - 100.0).astype("<f4")
+    mask = (gx * 11 + gy * 29) % 101 == 0
+    return np.where(mask, np.float32(ALG2_NODATA), v)
+
+
+def alg2_raster_tiles(spark):
+    rows = []
+    for ty in range(GRID):
+        for tx in range(GRID):
+            gy, gx = np.mgrid[
+                ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
+            ]
+            v = alg2_value(gx.astype(np.int64), gy.astype(np.int64))
+            rows.append(("alg2", 1, ty, tx, TILE, TILE, ALG2_NODATA, v.tobytes()))
+    return spark.createDataFrame(rows, schema=RASTER_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Relate truth-table squares — FIXTURES §5 (reference golden)
 # ---------------------------------------------------------------------------

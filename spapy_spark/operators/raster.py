@@ -32,7 +32,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -484,7 +486,7 @@ def resample_nearest(
 
 def resample_bilinear(
     tiles: DataFrame, scale: int, grid: int, tile: int,
-    out_raster_id: str = "out",
+    out_raster_id: str = "out", grid_x: int | None = None,
 ) -> DataFrame:
     """Bilinear upsample by integer ``scale`` (the reference's
     scipy.ndimage.zoom order-1 role, /root/reference/SpaRasters.py:
@@ -500,7 +502,7 @@ def resample_bilinear(
         raise ValueError("bilinear path is for upsampling (scale >= 1)")
     from .terrain import _halo_exchange
 
-    msgs = _halo_exchange(tiles, grid)
+    msgs = _halo_exchange(tiles, grid, grid_x)
     out_schema = tiles.schema
     ts = tile * scale
 
@@ -559,6 +561,268 @@ def resample_bilinear(
     return msgs.groupBy("raster_id", "band", "tile_y", "tile_x").applyInPandas(
         assemble, schema=out_schema
     )
+
+
+def crop_pixels_aligned(
+    tiles: DataFrame,
+    px0: int,
+    py0: int,
+    px1: int,
+    py1: int,
+    tile: int,
+    out_raster_id: str | None = None,
+) -> DataFrame:
+    """Crop re-tiled onto a CLEAN destination grid: output tile (0,0)
+    starts exactly at the window origin and every tile is ``tile``²
+    except the last row/column.  Unlike :func:`crop_pixels` (source-
+    aligned slices, reference ExtractByPixels parity), this variant is
+    grid-normalizing — the alignment contract joins/map-algebra need.
+
+    One shuffle keyed by destination tile; each source tile contributes
+    ≤4 sub-blocks, so cost is tile-local and size-independent."""
+    W, H = px1 - px0, py1 - py0
+    t0x, t1x = px0 // tile, (px1 - 1) // tile
+    t0y, t1y = py0 // tile, (py1 - 1) // tile
+    pruned = tiles.where(
+        (F.col("tile_x") >= t0x) & (F.col("tile_x") <= t1x)
+        & (F.col("tile_y") >= t0y) & (F.col("tile_y") <= t1y)
+    )
+    msg_schema = StructType([
+        StructField("raster_id", tiles.schema["raster_id"].dataType, False),
+        StructField("band", tiles.schema["band"].dataType, False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("tile_x", IntegerType(), False),
+        StructField("oy", IntegerType(), False),
+        StructField("ox", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("nodata", tiles.schema["nodata"].dataType, False),
+        StructField("pixels", BinaryType(), False),
+    ])
+
+    def emit(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                gx0, gy0 = r.tile_x * tile, r.tile_y * tile
+                sx0, sy0 = max(px0 - gx0, 0), max(py0 - gy0, 0)
+                sx1, sy1 = min(px1 - gx0, r.width), min(py1 - gy0, r.height)
+                if sx1 <= sx0 or sy1 <= sy0:
+                    continue
+                a = _buf(r.pixels, r.height, r.width)
+                rid = out_raster_id or r.raster_id
+                y = sy0
+                while y < sy1:
+                    dty = (gy0 + y - py0) // tile
+                    ylim = min(sy1, (dty + 1) * tile + py0 - gy0)
+                    x = sx0
+                    while x < sx1:
+                        dtx = (gx0 + x - px0) // tile
+                        xlim = min(sx1, (dtx + 1) * tile + px0 - gx0)
+                        sub = np.ascontiguousarray(a[y:ylim, x:xlim])
+                        rows.append((
+                            rid, r.band, int(dty), int(dtx),
+                            int((gy0 + y - py0) % tile),
+                            int((gx0 + x - px0) % tile),
+                            sub.shape[0], sub.shape[1], r.nodata,
+                            sub.tobytes(),
+                        ))
+                        x = xlim
+                    y = ylim
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "tile_y", "tile_x", "oy", "ox",
+                "height", "width", "nodata", "pixels"])
+
+    msgs = pruned.mapInPandas(emit, schema=msg_schema)
+    out_schema = tiles.schema
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rid, band, dty, dtx = key
+        h = min(tile, H - int(dty) * tile)
+        w = min(tile, W - int(dtx) * tile)
+        nd = float(pdf["nodata"].iloc[0])
+        out = np.full((h, w), np.float32(nd), dtype="<f4")
+        for r in pdf.itertuples(index=False):
+            a = _buf(r.pixels, r.height, r.width)
+            out[r.oy : r.oy + r.height, r.ox : r.ox + r.width] = a
+        return pd.DataFrame([{
+            "raster_id": rid, "band": band, "tile_y": int(dty),
+            "tile_x": int(dtx), "height": h, "width": w, "nodata": nd,
+            "pixels": out.tobytes(),
+        }])
+
+    return msgs.groupBy("raster_id", "band", "tile_y", "tile_x").applyInPandas(
+        assemble, schema=out_schema
+    )
+
+
+def split_tiles(
+    tiles: DataFrame, src_tile: int, dst_tile: int,
+    out_raster_id: str | None = None,
+) -> DataFrame:
+    """Re-tile DOWN: split nominal ``src_tile``² tiles into ``dst_tile``²
+    tiles (``src_tile`` a multiple of ``dst_tile``).  Pure per-row
+    slicing — NO shuffle (each source tile maps to a whole number of
+    destination tiles); the cheap half of a general retiler, which is
+    all the upsample→align path needs."""
+    if src_tile % dst_tile:
+        raise ValueError("src_tile must be a multiple of dst_tile")
+    f = src_tile // dst_tile
+    schema = tiles.schema
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                rid = out_raster_id or r.raster_id
+                for sy in range(0, r.height, dst_tile):
+                    for sx in range(0, r.width, dst_tile):
+                        sub = np.ascontiguousarray(
+                            a[sy : sy + dst_tile, sx : sx + dst_tile]
+                        )
+                        rows.append((
+                            rid, r.band,
+                            r.tile_y * f + sy // dst_tile,
+                            r.tile_x * f + sx // dst_tile,
+                            sub.shape[0], sub.shape[1], r.nodata,
+                            sub.tobytes(),
+                        ))
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "tile_y", "tile_x", "height", "width",
+                "nodata", "pixels"])
+
+    return tiles.mapInPandas(run, schema=schema)
+
+
+def apply_mask_union(
+    tiles_a: DataFrame, tiles_b: DataFrame, out_raster_id: str | None = None
+) -> DataFrame:
+    """A's pixels with the UNION mask: a cell is nodata in the output
+    wherever EITHER raster is nodata (each side tested against its OWN
+    nodata) — the reference's mask-OR step
+    (/root/reference/SpaRasters.py:2149-2160).  Tile-aligned equi-join,
+    values unchanged elsewhere."""
+    b = tiles_b.select(
+        *_TILE_KEY, F.col("pixels").alias("pixels_b"),
+        F.col("nodata").alias("nodata_b"),
+    )
+    j = tiles_a.join(b, _TILE_KEY)
+    schema = tiles_a.schema
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width)
+                bb = _buf(r.pixels_b, r.height, r.width)
+                mask = np.equal(a, np.float32(r.nodata)) | np.equal(
+                    bb, np.float32(r.nodata_b)
+                )
+                outs.append(
+                    np.where(mask, np.float32(r.nodata), a).tobytes()
+                )
+            res = pdf.drop(columns=["pixels_b", "nodata_b"]).copy()
+            res["pixels"] = outs
+            if out_raster_id is not None:
+                res["raster_id"] = out_raster_id
+            yield res
+
+    return j.mapInPandas(run, schema=schema)
+
+
+def resample_to_match(
+    tiles_a: DataFrame,
+    gt_a: tuple,
+    size_a: tuple,
+    tiles_b: DataFrame,
+    gt_b: tuple,
+    size_b: tuple,
+    tile: int,
+) -> tuple[DataFrame, DataFrame, tuple]:
+    """Reference ResampleToMatch (/root/reference/SpaRasters.py:
+    2088-2165): crop both rasters to their overlap, bring them to a
+    common resolution, and OR the nodata masks into both.
+
+    Follows the reference CODE (not its docstring): the coarser raster
+    is zoomed UP to the finer's resolution (Resample factor
+    res_coarse/res_fine > 1), order-1/bilinear.  Supported ratio:
+    integer multiples (the pyramid case); other ratios raise.  The
+    upsampled side re-tiles by pure per-row splitting (no shuffle), so
+    the whole composition costs: 2 pruned crops + 1 halo shuffle + 2
+    tile-aligned joins — independent of raster size per partition.
+
+    ``size_* = (width, height)`` pixels; both rasters north-up.
+    Returns (a_matched, b_matched, gt_out) on the finer grid, both
+    carrying the union mask.
+    """
+    pw_a, ph_a = gt_a[1], gt_a[5]
+    pw_b, ph_b = gt_b[1], gt_b[5]
+    # intersection bounds in model space
+    ax0, ay0 = gt_a[0], gt_a[3]
+    bx0, by0 = gt_b[0], gt_b[3]
+    x0 = max(ax0, bx0)
+    x1 = min(ax0 + size_a[0] * pw_a, bx0 + size_b[0] * pw_b)
+    y0 = min(ay0, by0)  # top (ph negative)
+    y1 = max(ay0 + size_a[1] * ph_a, by0 + size_b[1] * ph_b)
+    if x1 <= x0 or y1 >= y0:
+        raise ValueError("rasters do not overlap")
+
+    fine_first = abs(pw_a) <= abs(pw_b)
+    pw_f = pw_a if fine_first else pw_b
+    pw_c = pw_b if fine_first else pw_a
+    ratio = abs(pw_c) / abs(pw_f)
+    scale = int(round(ratio))
+    if abs(ratio - scale) > 1e-9:
+        raise NotImplementedError(
+            f"non-integer resolution ratio {ratio} (pyramid case only)"
+        )
+
+    def _win(gt, X0, Y0, X1, Y1):
+        px0 = int(round((X0 - gt[0]) / gt[1]))
+        py0 = int(round((Y0 - gt[3]) / gt[5]))
+        px1 = int(round((X1 - gt[0]) / gt[1]))
+        py1 = int(round((Y1 - gt[3]) / gt[5]))
+        return px0, py0, px1, py1
+
+    # snap the window to COARSE pixels (reference Crop snaps to pixel
+    # indices of each raster; a shared coarse snap keeps the two crops
+    # describing the same model-space rectangle)
+    gt_cc = gt_a if not fine_first else gt_b
+    cx0, cy0, cx1, cy1 = _win(gt_cc, x0, y0, x1, y1)
+    X0, Y0 = gt_cc[0] + cx0 * gt_cc[1], gt_cc[3] + cy0 * gt_cc[5]
+    X1, Y1 = gt_cc[0] + cx1 * gt_cc[1], gt_cc[3] + cy1 * gt_cc[5]
+
+    a_win = _win(gt_a, X0, Y0, X1, Y1)
+    b_win = _win(gt_b, X0, Y0, X1, Y1)
+    # aligned crops: both sides land on clean (0,0)-origin tile grids,
+    # so after the upsample+split the tile keys correspond 1:1
+    a2 = crop_pixels_aligned(
+        tiles_a, a_win[0], a_win[1], a_win[2], a_win[3], tile
+    )
+    b2 = crop_pixels_aligned(
+        tiles_b, b_win[0], b_win[1], b_win[2], b_win[3], tile
+    )
+
+    if scale > 1:
+        coarse = b2 if fine_first else a2
+        cw = (b_win if fine_first else a_win)
+        n_ty = -(-(cw[3] - cw[1]) // tile)
+        n_tx = -(-(cw[2] - cw[0]) // tile)
+        up = resample_bilinear(
+            coarse, scale, grid=n_ty, tile=tile,
+            out_raster_id="up", grid_x=n_tx,
+        )
+        up = split_tiles(up, tile * scale, tile)
+        if fine_first:
+            b2 = up
+        else:
+            a2 = up
+
+    gt_out = (X0, pw_f, 0.0, Y0, 0.0, -abs(pw_f) if ph_a < 0 else abs(pw_f))
+    a3 = apply_mask_union(a2, b2)
+    b3 = apply_mask_union(b2, a2)
+    return a3, b3, gt_out
 
 
 def trace_mask_rings(mask: np.ndarray):

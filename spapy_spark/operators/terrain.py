@@ -149,9 +149,15 @@ def pad_oracle(arr: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _halo_exchange(tiles: DataFrame, grid: int) -> DataFrame:
+def _halo_exchange(tiles: DataFrame, grid: int, grid_x: int | None = None) -> DataFrame:
     """One shuffle: every tile sends itself + 1-px strips to its ≤8
-    neighbors, keyed by receiving tile (dy, dx tags the placement)."""
+    neighbors, keyed by receiving tile (dy, dx tags the placement).
+
+    ``grid``/``grid_x`` bound the tile grid per axis (rows/cols) so no
+    strip is addressed to a nonexistent tile (which would orphan a
+    group downstream); square rasters pass just ``grid``."""
+    if grid_x is None:
+        grid_x = grid
     msg_schema = StructType([
         StructField("raster_id", tiles.schema["raster_id"].dataType, False),
         StructField("band", tiles.schema["band"].dataType, False),
@@ -173,7 +179,7 @@ def _halo_exchange(tiles: DataFrame, grid: int) -> DataFrame:
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
                         ty, tx = r.tile_y + dy, r.tile_x + dx
-                        if not (0 <= ty < grid and 0 <= tx < grid):
+                        if not (0 <= ty < grid and 0 <= tx < grid_x):
                             continue
                         # strip of a the receiver needs: receiver below
                         # (dy=+1) takes our BOTTOM row, receiver right

@@ -205,8 +205,77 @@ def buffer(df: DataFrame, amount: float, geometry: str = "geometry",
     return _geom_map(df, op, geometry)
 
 
-def simplify(df: DataFrame, tolerance: float, geometry: str = "geometry") -> DataFrame:
-    """Douglas-Peucker per ring (/root/reference/SpaVectors.py:820-846)."""
+def _ring_self_crosses(r: np.ndarray) -> bool:
+    """Any PROPER crossing between non-adjacent edges of a closed ring
+    (post-simplify rings are short — the O(m²) scan is per-feature)."""
+    m = len(r) - 1
+    for i in range(m):
+        a1, a2 = r[i], r[i + 1]
+        da = a2 - a1
+        for j in range(i + 2, m):
+            if i == 0 and j == m - 1:
+                continue
+            b1, b2 = r[j], r[j + 1]
+            db = b2 - b1
+            d1 = da[0] * (b1[1] - a1[1]) - da[1] * (b1[0] - a1[0])
+            d2 = da[0] * (b2[1] - a1[1]) - da[1] * (b2[0] - a1[0])
+            d3 = db[0] * (a1[1] - b1[1]) - db[1] * (a1[0] - b1[0])
+            d4 = db[0] * (a2[1] - b1[1]) - db[1] * (a2[0] - b1[0])
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return True
+    return False
+
+
+def _polygon_valid(rings: list) -> bool:
+    ext = np.asarray(rings[0], dtype=np.float64)
+    if len(ext) < 4 or abs(kernels.ring_signed_area(ext)) <= 0:
+        return False
+    if _ring_self_crosses(ext):
+        return False
+    for h in rings[1:]:
+        ha = np.asarray(h, dtype=np.float64)
+        if len(ha) < 4 or abs(kernels.ring_signed_area(ha)) <= 0:
+            return False
+        if _ring_self_crosses(ha):
+            return False
+        if not kernels.points_in_ring(ha[:, 0], ha[:, 1], ext).all():
+            return False
+        if kernels.segments_proper_cross_any(ha, ext):
+            return False
+    return True
+
+
+def _simplify_polygon(rings: list, tolerance: float, preserve: bool) -> list:
+    t = tolerance
+    while True:
+        out = [kernels.simplify_dp(r, t) for r in rings]
+        if not preserve:
+            return out
+        if _polygon_valid(out):
+            return out
+        t /= 2.0
+        if t < tolerance / 1024.0:
+            return [np.asarray(r, dtype=np.float64) for r in rings]
+
+
+def simplify(
+    df: DataFrame,
+    tolerance: float,
+    geometry: str = "geometry",
+    preserve_topology: bool = True,
+) -> DataFrame:
+    """Douglas-Peucker per ring (/root/reference/SpaVectors.py:820-846,
+    GEOS ``simplify(tol, preserve_topology)``; reference default True).
+
+    ``preserve_topology=True`` guarantees per-feature validity the way
+    TopologyPreservingSimplifier does — no collapsed rings, no
+    self-intersections, holes stay inside their shell — by retrying DP
+    with a halved tolerance until the result is valid (falling back to
+    the original ring).  Vertices may differ from GEOS's (its algorithm
+    reinstates individual points instead); the validity CONTRACT is
+    matched, documented divergence.  Like GEOS, per-feature only —
+    shared boundaries between different features may still diverge.
+    """
 
     def op(g):
         t = g["type"]
@@ -217,11 +286,11 @@ def simplify(df: DataFrame, tolerance: float, geometry: str = "geometry") -> Dat
             return {"type": t, "coordinates": [
                 kernels.simplify_dp(c, tolerance) for c in g["coordinates"]]}
         if t == "Polygon":
-            return {"type": t, "coordinates": [
-                kernels.simplify_dp(r, tolerance) for r in g["coordinates"]]}
+            return {"type": t, "coordinates": _simplify_polygon(
+                g["coordinates"], tolerance, preserve_topology)}
         if t == "MultiPolygon":
-            return {"type": t, "coordinates": [[
-                kernels.simplify_dp(r, tolerance) for r in p]
+            return {"type": t, "coordinates": [
+                _simplify_polygon(p, tolerance, preserve_topology)
                 for p in g["coordinates"]]}
         return g
 

@@ -1,0 +1,364 @@
+"""From-scratch GeoTIFF I/O (no GDAL) — reference raster Load/Save
+(/root/reference/SpaRasters.py:687-752) re-expressed for the tile-table
+engine.
+
+Scope (documented): classic TIFF, uncompressed (Compression=1),
+single-band (SamplesPerPixel=1), strip- OR tile-organized, 8/16/32-bit
+unsigned/signed/float samples, little- or big-endian.  Georeferencing
+from ModelPixelScaleTag + ModelTiepointTag (GeoTIFF §2.6.1); nodata
+from the GDAL_NODATA ASCII tag.  That covers the uncompressed DEM/
+landcover exports the reference's own tests read; compressed TIFFs
+raise with a clear message.
+
+Scale design: the driver parses only the IFD (a few KB); pixel data is
+read on EXECUTORS as byte-range slices — one task per engine tile row,
+each task seeking directly to its rows (uncompressed strips are
+row-addressable: offset(r) = strip_offset + (r − strip_row0)·row_bytes).
+A 100 GB GeoTIFF therefore scans fully parallel with no driver
+materialization and no shuffle; the output is the engine's standard
+(raster_id, band, tile_y, tile_x, …, pixels) table feeding map
+algebra / terrain / sampling unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# TIFF tag ids
+_W, _H = 256, 257
+_BITS, _COMP, _PHOTO = 258, 259, 262
+_SOFF, _SPP, _RPS, _SCNT = 273, 277, 278, 279
+_PLANAR = 284
+_TILE_W, _TILE_H, _TOFF, _TCNT = 322, 323, 324, 325
+_SFMT = 339
+_MODEL_SCALE, _MODEL_TIE = 33550, 33922
+_GDAL_NODATA = 42113
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+@dataclass
+class TiffInfo:
+    width: int
+    height: int
+    bits: int = 8
+    sample_format: int = 1  # 1 uint, 2 int, 3 float
+    endian: str = "<"
+    compression: int = 1
+    samples_per_pixel: int = 1
+    rows_per_strip: int = 0
+    strip_offsets: list = field(default_factory=list)
+    strip_byte_counts: list = field(default_factory=list)
+    tile_width: int = 0
+    tile_height: int = 0
+    tile_offsets: list = field(default_factory=list)
+    nodata: float | None = None
+    geotransform: tuple | None = None
+
+    @property
+    def dtype(self) -> np.dtype:
+        kind = {1: "u", 2: "i", 3: "f"}[self.sample_format]
+        return np.dtype(f"{self.endian}{kind}{self.bits // 8}")
+
+    @property
+    def tiled(self) -> bool:
+        return self.tile_width > 0
+
+
+def _read_ifd_entries(f, endian: str, off: int):
+    """Seek-based IFD parse — touches only the IFD block and each
+    entry's external value area (a 100 GB file costs a few KB of
+    reads wherever its IFD lives)."""
+    f.seek(off)
+    (n,) = struct.unpack(endian + "H", f.read(2))
+    block = f.read(12 * n + 4)
+    out = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", block, 12 * i)
+        val_raw = block[12 * i + 8 : 12 * i + 12]
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        if size > 4:
+            (data_off,) = struct.unpack(endian + "I", val_raw)
+            f.seek(data_off)
+            raw = f.read(size)
+        else:
+            raw = val_raw[:size]
+        if typ == 2:  # ASCII
+            out[tag] = raw.split(b"\0")[0].decode("ascii", "replace")
+        elif typ == 5:  # RATIONAL
+            vals = struct.unpack(endian + "I" * (2 * cnt), raw)
+            out[tag] = [vals[2 * j] / max(vals[2 * j + 1], 1)
+                        for j in range(cnt)]
+        elif typ in _TYPE_FMT:
+            out[tag] = list(struct.unpack(endian + _TYPE_FMT[typ] * cnt, raw))
+        else:
+            out[tag] = raw
+    return out
+
+
+def read_info(path: str) -> TiffInfo:
+    """Parse header + first IFD (+ GeoTIFF/GDAL tags) — driver-cheap:
+    reads at most a few hundred KB regardless of raster size."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:2] == b"II":
+            endian = "<"
+        elif head[:2] == b"MM":
+            endian = ">"
+        else:
+            raise ValueError(f"not a TIFF file: {path!r}")
+        (magic,) = struct.unpack_from(endian + "H", head, 2)
+        if magic == 43:
+            raise NotImplementedError("BigTIFF not supported (classic only)")
+        if magic != 42:
+            raise ValueError(f"bad TIFF magic {magic}")
+        (ifd_off,) = struct.unpack_from(endian + "I", head, 4)
+        tags = _read_ifd_entries(f, endian, ifd_off)
+
+    def one(tag, default=None):
+        v = tags.get(tag, default)
+        return v[0] if isinstance(v, list) else v
+
+    info = TiffInfo(
+        width=int(one(_W)), height=int(one(_H)),
+        bits=int(one(_BITS, 8)), sample_format=int(one(_SFMT, 1)),
+        endian=endian, compression=int(one(_COMP, 1)),
+        samples_per_pixel=int(one(_SPP, 1)),
+    )
+    if info.compression != 1:
+        raise NotImplementedError(
+            f"compressed TIFF (Compression={info.compression}) not "
+            "supported — export uncompressed"
+        )
+    if info.samples_per_pixel != 1:
+        raise NotImplementedError("multi-band TIFF not supported (band 1 only)")
+    if info.bits not in (8, 16, 32):
+        raise NotImplementedError(f"BitsPerSample={info.bits}")
+    if _TILE_W in tags:
+        info.tile_width = int(one(_TILE_W))
+        info.tile_height = int(one(_TILE_H))
+        info.tile_offsets = [int(v) for v in tags[_TOFF]]
+    else:
+        info.rows_per_strip = int(one(_RPS, info.height))
+        info.strip_offsets = [int(v) for v in tags[_SOFF]]
+        info.strip_byte_counts = [int(v) for v in tags.get(_SCNT, [])]
+    if _GDAL_NODATA in tags:
+        try:
+            info.nodata = float(str(tags[_GDAL_NODATA]).strip())
+        except ValueError:
+            pass
+    if _MODEL_SCALE in tags and _MODEL_TIE in tags:
+        sx, sy = tags[_MODEL_SCALE][0], tags[_MODEL_SCALE][1]
+        i, j, _k, x, y, _z = tags[_MODEL_TIE][:6]
+        # tiepoint (i,j)->(x,y): origin = raster (0,0) in model space
+        info.geotransform = (
+            float(x - i * sx), float(sx), 0.0,
+            float(y + j * sy), 0.0, float(-sy),
+        )
+    return info
+
+
+def _rows_bytes(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
+    """Read pixel rows [r0, r1) of a STRIP-organized file via direct
+    seeks (uncompressed strips are row-addressable)."""
+    row_bytes = info.width * info.bits // 8
+    out = np.empty((r1 - r0, info.width), dtype=info.dtype)
+    r = r0
+    while r < r1:
+        s = r // info.rows_per_strip
+        strip_r0 = s * info.rows_per_strip
+        take = min(r1, strip_r0 + info.rows_per_strip) - r
+        off = info.strip_offsets[s] + (r - strip_r0) * row_bytes
+        f.seek(off)
+        raw = f.read(take * row_bytes)
+        out[r - r0 : r - r0 + take] = np.frombuffer(
+            raw, dtype=info.dtype
+        ).reshape(take, info.width)
+        r += take
+    return out
+
+
+def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
+    """Read pixel rows [r0, r1) of a TILE-organized file."""
+    tw, th = info.tile_width, info.tile_height
+    ntx = (info.width + tw - 1) // tw
+    out = np.empty((r1 - r0, info.width), dtype=info.dtype)
+    t0, t1 = r0 // th, (r1 - 1) // th
+    for ty in range(t0, t1 + 1):
+        for tx in range(ntx):
+            f.seek(info.tile_offsets[ty * ntx + tx])
+            raw = f.read(tw * th * info.bits // 8)
+            arr = np.frombuffer(raw, dtype=info.dtype).reshape(th, tw)
+            y0 = max(r0, ty * th)
+            y1 = min(r1, (ty + 1) * th)
+            x1 = min(info.width, (tx + 1) * tw)
+            out[y0 - r0 : y1 - r0, tx * tw : x1] = arr[
+                y0 - ty * th : y1 - ty * th, : x1 - tx * tw
+            ]
+    return out
+
+
+def read_array(path: str) -> tuple[np.ndarray, TiffInfo]:
+    """Whole-raster read (driver-side; tests + small files)."""
+    info = read_info(path)
+    with open(path, "rb") as f:
+        if info.tiled:
+            a = _rows_from_tiles(info, f, 0, info.height)
+        else:
+            a = _rows_bytes(info, f, 0, info.height)
+    return a, info
+
+
+def geotiff_tiles(
+    spark,
+    path: str,
+    tile: int = 64,
+    raster_id: str | None = None,
+    nodata: float | None = None,
+) -> "pyspark.sql.DataFrame":  # noqa: F821
+    """Distributed GeoTIFF → engine tile table.
+
+    One task per tile ROW (height ``tile``): each executor seeks
+    straight to its rows and slices them into width-``tile`` tiles —
+    full parallel scan, nothing driver-side but the IFD.  Output
+    pixels are float32 (the engine's cell type), nodata preserved.
+    """
+    from .synth import RASTER_SCHEMA
+
+    info = read_info(path)
+    rid = raster_id or path.rsplit("/", 1)[-1]
+    nd = nodata if nodata is not None else (
+        info.nodata if info.nodata is not None else -9999.0
+    )
+    n_ty = (info.height + tile - 1) // tile
+    rows = spark.createDataFrame(
+        [(ty,) for ty in range(n_ty)], "ty int"
+    ).repartition(min(n_ty, spark.sparkContext.defaultParallelism * 2))
+    bc = spark.sparkContext.broadcast((info, path, tile, rid, float(nd)))
+
+    def gen(batches):
+        info_, path_, tile_, rid_, nd_ = bc.value
+        with open(path_, "rb") as f:
+            for pdf in batches:
+                out = []
+                for ty in pdf["ty"]:
+                    r0 = int(ty) * tile_
+                    r1 = min(r0 + tile_, info_.height)
+                    if info_.tiled:
+                        band_rows = _rows_from_tiles(info_, f, r0, r1)
+                    else:
+                        band_rows = _rows_bytes(info_, f, r0, r1)
+                    a = band_rows.astype("<f4")
+                    for tx in range(0, info_.width, tile_):
+                        sub = np.ascontiguousarray(a[:, tx : tx + tile_])
+                        out.append((
+                            rid_, 1, int(ty), tx // tile_,
+                            sub.shape[0], sub.shape[1], nd_, sub.tobytes(),
+                        ))
+                yield pd.DataFrame(out, columns=[
+                    "raster_id", "band", "tile_y", "tile_x", "height",
+                    "width", "nodata", "pixels"])
+
+    return rows.mapInPandas(gen, schema=RASTER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Writer (minimal single-band uncompressed GeoTIFF, little-endian)
+# ---------------------------------------------------------------------------
+
+
+def write_geotiff(
+    path: str,
+    arr: np.ndarray,
+    geotransform: tuple | None = None,
+    nodata: float | None = None,
+) -> None:
+    """Single-band uncompressed little-endian GeoTIFF (strip per 64
+    rows).  Mirrors reference Save (/root/reference/SpaRasters.py:752)
+    for the formats the reader supports — enables lossless roundtrip
+    tests without GDAL."""
+    a = np.asarray(arr)
+    if a.dtype.kind == "f":
+        a = a.astype("<f4")
+        sfmt, bits = 3, 32
+    elif a.dtype.kind == "i":
+        a = a.astype("<i4")
+        sfmt, bits = 2, 32
+    else:
+        a = a.astype("u1")
+        sfmt, bits = 1, 8
+    h, w = a.shape
+    rps = 64
+    n_strips = (h + rps - 1) // rps
+    row_bytes = w * bits // 8
+
+    header = 8
+    data_off = header
+    strip_offsets, strip_counts = [], []
+    off = data_off
+    for s in range(n_strips):
+        nrows = min(rps, h - s * rps)
+        strip_offsets.append(off)
+        strip_counts.append(nrows * row_bytes)
+        off += nrows * row_bytes
+    ifd_off = off
+
+    entries = []  # (tag, type, count, value_bytes_or_int)
+    extra = b""
+    extra_off = [0]  # patched after IFD size known
+
+    def ent(tag, typ, cnt, values):
+        nonlocal extra
+        fmt = _TYPE_FMT[typ]
+        raw = struct.pack("<" + fmt * cnt, *values)
+        if len(raw) <= 4:
+            entries.append((tag, typ, cnt, raw.ljust(4, b"\0")))
+        else:
+            entries.append((tag, typ, cnt, ("ptr", len(extra))))
+            extra += raw
+        return None
+
+    ent(_W, 4, 1, [w])
+    ent(_H, 4, 1, [h])
+    ent(_BITS, 3, 1, [bits])
+    ent(_COMP, 3, 1, [1])
+    ent(_PHOTO, 3, 1, [1])
+    ent(_SOFF, 4, n_strips, strip_offsets)
+    ent(_SPP, 3, 1, [1])
+    ent(_RPS, 4, 1, [rps])
+    ent(_SCNT, 4, n_strips, strip_counts)
+    ent(_PLANAR, 3, 1, [1])
+    ent(_SFMT, 3, 1, [sfmt])
+    if geotransform is not None:
+        x0, pw, _, y0, _, ph = geotransform
+        ent(_MODEL_SCALE, 12, 3, [abs(pw), abs(ph), 0.0])
+        ent(_MODEL_TIE, 12, 6, [0.0, 0.0, 0.0, x0, y0, 0.0])
+    if nodata is not None:
+        nd = (f"{nodata:.10g}").encode("ascii") + b"\0"
+        typ2 = 2
+        if len(nd) <= 4:
+            entries.append((_GDAL_NODATA, typ2, len(nd), nd.ljust(4, b"\0")))
+        else:
+            entries.append((_GDAL_NODATA, typ2, len(nd), ("ptr", len(extra))))
+            extra += nd
+    entries.sort(key=lambda e: e[0])
+
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_off[0] = ifd_off + ifd_size
+
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
+        f.write(a.tobytes())
+        f.write(struct.pack("<H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            if isinstance(val, tuple):
+                val = struct.pack("<I", extra_off[0] + val[1])
+            f.write(struct.pack("<HHI", tag, typ, cnt) + val)
+        f.write(struct.pack("<I", 0))  # no next IFD
+        f.write(extra)

@@ -91,3 +91,71 @@ def test_knn_grid_no_broadcast(spark):
             n_certain += 1
             assert want[(r["point_id"], r["rank"])] == r["site_id"]
     assert n_certain > len(rows) * 0.5  # most points resolve in ring 1
+
+
+def test_topk_block_chunked_matches_dense():
+    """Site-axis chunking (the 10^5-site memory fix) is bit-identical
+    to the one-shot dense path, both metrics."""
+    rng = np.random.default_rng(11)
+    n, s, k = 300, 2500, 4
+    px, py = rng.uniform(-180, 180, n), rng.uniform(-80, 80, n)
+    sx, sy = rng.uniform(-180, 180, s), rng.uniform(-80, 80, s)
+    sid = rng.permutation(s).astype(np.int64)
+    import spapy_spark.operators.knn as knn_mod
+    save = knn_mod._TOPK_BLOCK_BYTES
+    try:
+        knn_mod._TOPK_BLOCK_BYTES = 8 * n * 97  # chunk = 97 sites
+        ch = knn_mod._topk_block(px, py, sx, sy, sid, k)
+        knn_mod._TOPK_BLOCK_BYTES = 8 * n * s  # single chunk
+        dn = knn_mod._topk_block(px, py, sx, sy, sid, k)
+    finally:
+        knn_mod._TOPK_BLOCK_BYTES = save
+    for a, b in zip(ch, dn):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_knn_grid_total_matches_broadcast(spark):
+    """Ring-escalation wrapper returns the TOTAL answer — every point,
+    k rows, identical to brute force (no certain caveat left)."""
+    sites = synth.sites(spark, 64)
+    ids = np.arange(500)
+    _, lat, lon = synth.doc_coords(ids)
+    pts = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in ids],
+        "point_id long, lat double, lon double",
+    )
+    total = knn.knn_join_grid_total(pts, sites, k=3, res=4).collect()
+    brute = knn.knn_join_broadcast(pts, sites, k=3,
+                                   point_cols=["point_id"]).collect()
+    assert len(total) == len(brute) == 500 * 3
+    want = {(r["point_id"], r["rank"]): (r["site_id"], r["dist"])
+            for r in brute}
+    for r in total:
+        ws, wd = want[(r["point_id"], r["rank"])]
+        assert r["site_id"] == ws
+        assert r["dist"] == wd
+
+
+def test_within_distance_matches_bruteforce(spark):
+    sites = synth.sites(spark, 200)
+    ids = np.arange(800)
+    _, lat, lon = synth.doc_coords(ids)
+    pts = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in ids],
+        "point_id long, lat double, lon double",
+    )
+    d = 2.5
+    got = {(r["point_id"], r["site_id"]): r["dist"]
+           for r in knn.within_distance(pts, sites, d, res=6).collect()}
+    rows = synth._site_rows(200)
+    sx = np.array([r[2] for r in rows])
+    sy = np.array([r[3] for r in rows])
+    sid = np.array([r[0] for r in rows])
+    want = {}
+    for i in ids:
+        d2 = (lon[i] - sx) ** 2 + (lat[i] - sy) ** 2
+        for j in np.nonzero(d2 <= d * d)[0]:
+            want[(int(i), int(sid[j]))] = np.sqrt(d2[j])
+    assert set(got) == set(want)
+    for kk, v in want.items():
+        assert got[kk] == pytest.approx(v, rel=1e-12)

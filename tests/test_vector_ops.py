@@ -92,6 +92,22 @@ def test_simplify_densify_roundtrip(spark, layer):
     assert areas[0] == pytest.approx(100.0, rel=1e-6)
 
 
+def test_simplify_preserve_topology(spark):
+    # huge tolerance: naive DP collapses the square's ring to a
+    # degenerate 3-point line; preserve_topology must keep a valid
+    # polygon (the original), matching the GEOS TPS validity contract
+    sq = wkb.box(0.0, 0.0, 1.0, 1.0)
+    layer = spark.createDataFrame(
+        [(0, wkb.dumps(sq))], "fid long, geometry binary"
+    )
+    keep = vector.simplify(layer, 100.0, preserve_topology=True).collect()
+    g = wkb.loads(bytes(keep[0]["geometry"]))
+    assert kernels.geom_area(g) == pytest.approx(1.0)
+    raw = vector.simplify(layer, 100.0, preserve_topology=False).collect()
+    g2 = wkb.loads(bytes(raw[0]["geometry"]))
+    assert kernels.geom_area(g2) < 1.0  # collapsed, as plain DP does
+
+
 def test_buffer_point(spark):
     pts = spark.createDataFrame(
         [(0, wkb.dumps(wkb.point(5.0, 5.0)))], "fid long, geometry binary"

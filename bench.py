@@ -99,13 +99,23 @@ def main():
                 "tiling_counts",
                 "geocode_roundtrip",
                 "knn_sites",
+                "knn_sites_grid",
+                "within_dist",
+                "overlay_boxes",
+                "relate_counts",
+                "buffer_area",
+                "centroid_bounds",
+                "crs_webmercator",
                 "dedup_exact",
                 "minhash_sigs",
                 "simhash",
                 "quality_scores",
                 "doc_fingerprint",
-                "ann_cosine",
+                # production ANN plan (Arrow matmul); the posexplode
+                # decimal twin stays contract-only as the oracle path
+                "ann_cosine_arrow",
                 "raster_sample",
+                "raster_algebra_tiles",
                 "text_stats",
                 "lang_ngram",
                 "events_sessions",

@@ -24,9 +24,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import BinaryType, StructField, StructType
 
-from .entry_queries import PTS_SQL, _knn_oracle_sql, _knn_sites_values, derived_points, load
+from .entry_queries import (
+    PTS_SQL,
+    _ann_oracle_sql,
+    _knn_oracle_sql,
+    _knn_sites_values,
+    derived_points,
+    load,
+)
 from .geometry import wkb
-from .operators import knn, overlay, raster, vector
+from .operators import ann, knn, overlay, raster, vector
 from .sources import synth
 
 # ---------------------------------------------------------------------------
@@ -61,8 +68,14 @@ def _grid_sql(eps: float) -> str:
 
 
 def _boxes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(point_id, geometry) box layer derived from orders keys."""
-    o = load(spark, sf_dir, "orders")
+    """(point_id, geometry) box layer derived from orders keys.
+
+    Repartitioned to the session parallelism: the sf0.01 orders table
+    is one parquet file → one input split, which would serialize every
+    downstream Python geometry stage onto a single task."""
+    o = load(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("o_orderkey")
     src = o.select(
         k.alias("point_id"),
@@ -172,13 +185,10 @@ def q_relate_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exact-sign cross products — bit-deterministic."""
     left = _boxes_df(spark, sf_dir)
     right = _grid_df(spark, 0.0)
-    rows = []
-    for p in _RELATE_PREDS:
-        n = overlay.relate_join(
-            left, right, p, res=7, left_id="point_id", right_id="grid_id"
-        ).count()
-        rows.append((p, n))
-    return spark.createDataFrame(rows, "predicate string, n_pairs bigint")
+    return overlay.relate_counts_multi(
+        left, right, _RELATE_PREDS, res=7,
+        left_id="point_id", right_id="grid_id",
+    ).orderBy("predicate")
 
 
 def _relate_oracle_sql() -> str:
@@ -279,7 +289,11 @@ def _raster_histogram_oracle_sql() -> str:
 def _small_boxes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """500-ish boxes near the origin (keeps shoelace cancellation noise
     ~1e-13 so the closed-form area oracle survives rounding)."""
-    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 30 == 0)
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 30 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     k = F.col("o_orderkey")
     src = o.select(
         k.alias("point_id"),
@@ -410,7 +424,9 @@ def q_knn_sites_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast path's oracle: strategy equivalence for kNN."""
     pts = derived_points(spark, sf_dir)
     sites = synth.sites(spark, 64)
-    out = knn.knn_join_grid_total(pts, sites, k=3, res=4, start_ring=1)
+    # res sized to the site density (64 global sites, k=3 → ~1 site
+    # per res-3 cell); start_ring=2 resolves ~all points in pass 1
+    out = knn.knn_join_grid_total(pts, sites, k=3, res=3, start_ring=2)
     return out.select("point_id", "site_id", "rank", "dist").orderBy(
         "point_id", "rank"
     )
@@ -465,6 +481,27 @@ def _crs_oracle_sql() -> str:
     )
 
 
+def q_ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k through the PRODUCTION Arrow-matmul plan —
+    same oracle as ann_cosine (rounded to 6 dp: float64 matmul vs
+    decimal-exact sums differ ≤1 ulp), proving the fast path and the
+    posexplode oracle twin are result-identical."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann.cosine_topk_arrow(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine")
+    ).orderBy("query_id", "rank")
+
+
+def _ann_arrow_oracle_sql() -> str:
+    return _ann_oracle_sql().replace(
+        "AS rank, cosine", "AS rank, ROUND(cosine, 6) AS cosine"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -482,6 +519,7 @@ def build_queries() -> dict:
         "within_dist": q_within_dist,
         "knn_sites_grid": q_knn_sites_grid,
         "crs_webmercator": q_crs_webmercator,
+        "ann_cosine_arrow": q_ann_cosine_arrow,
     }
 
 
@@ -497,4 +535,5 @@ def build_oracle_sql() -> dict:
         "within_dist": _within_dist_oracle_sql(),
         "knn_sites_grid": _knn_oracle_sql(),
         "crs_webmercator": _crs_oracle_sql(),
+        "ann_cosine_arrow": _ann_arrow_oracle_sql(),
     }

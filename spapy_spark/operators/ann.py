@@ -83,6 +83,75 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k — the PRODUCTION brute plan.
+
+    ``cosine_topk`` is the decimal-exact oracle twin but posexplodes
+    every vector into ``dim`` rows (dim× shuffle inflation — the r1
+    perf audit's finding).  This variant broadcasts the small query
+    block and does one float64 matmul per Arrow batch with a per-batch
+    (cosine desc, vec_id) top-k, so only ``batches × q × k`` candidate
+    rows ever leave the scan — no row inflation, no wide shuffle.
+    Results are identical up to float64-vs-decimal summation order
+    (≤1 ulp); ties (duplicate vectors) break identically by vec_id.
+    """
+    spark = vectors.sparkSession
+    qrows = queries.select(query_id, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, Q, qn))
+    src = vectors.select(id_col, vec_col)
+
+    def probe(batches):
+        import pyarrow as pa
+
+        qids_, Q_, qn_ = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            flat = batch.column(vec_col).flatten().to_numpy(
+                zero_copy_only=False
+            )
+            E = flat.reshape(n, -1).astype(np.float64)
+            vn = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ Q_.T) / (vn[:, None] * qn_[None, :])
+            kk = min(k, n)
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(qids_)):
+                order = np.lexsort((ids, -cos[:, j]))[:kk]
+                out_q.append(np.full(kk, qids_[j], dtype=np.int64))
+                out_v.append(ids[order].astype(np.int64))
+                out_c.append(cos[order, j])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_v), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.float64()),
+                ],
+                [query_id, id_col, "cosine"],
+            )
+
+    cand = src.mapInArrow(
+        probe, schema=f"{query_id} long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "rank", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH scale path
 # ---------------------------------------------------------------------------

@@ -25,7 +25,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..geometry import kernels, wkb
 
@@ -315,12 +321,15 @@ def _candidates(
 
     lc = zone_cell_covering(left, res, zone_id=left_id, geometry=geometry)
     rc = zone_cell_covering(right, res, zone_id=right_id, geometry=geometry)
+    # persist: the covering feeds (a) the level-set collects and (b) up
+    # to two union branches in with_truncations — without it the whole
+    # upstream (incl. the Python covering pass) re-executes per branch
     lcells = lc.select(
         F.col("cell"), F.col(left_id), F.col(geometry).alias("__lg")
-    )
+    ).persist()
     rcells = rc.select(
         F.col("cell"), F.col(right_id), F.col(geometry).alias("__rg")
-    )
+    ).persist()
     # align resolutions: each side's cells are additionally truncated to
     # every coarser level present on the other side, so a fine covering
     # can meet a coarse covering on the equi-join key (cell-prefix
@@ -349,7 +358,14 @@ def _candidates(
 
     lall = with_truncations(lcells, llev, rlev)
     rall = with_truncations(rcells, rlev, llev)
-    return lall.join(rall, "cell").dropDuplicates([left_id, right_id])
+    pairs = lall.join(rall, "cell").dropDuplicates([left_id, right_id])
+    # the refine that follows is Python-CPU-bound; AQE coalesces this
+    # small shuffle to ONE partition (64 MB advisory) and would
+    # serialize it — spread candidates across the executor cores.
+    # 4 waves/core balances skewed per-pair kernel costs; at scale the
+    # pair stream is large and this repartition is the natural width.
+    n_part = left.sparkSession.sparkContext.defaultParallelism * 4
+    return pairs.repartition(n_part)
 
 
 def _union_all(dfs):
@@ -502,6 +518,65 @@ def relate_join(
             yield pdf.iloc[keep][[left_id, right_id]].reset_index(drop=True)
 
     return pairs.mapInPandas(refine, schema=schema)
+
+
+def relate_counts_multi(
+    left: DataFrame,
+    right: DataFrame,
+    predicates: tuple = ("contains", "intersects", "overlaps", "touches",
+                         "within"),
+    res: int = 8,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    geometry: str = "geometry",
+) -> DataFrame:
+    """Pair counts for SEVERAL relate predicates in ONE candidate pass.
+
+    Shares the cell-join candidate generation and the pairwise
+    primitives (boundary-touch, interiors-intersect, containment both
+    ways) across all predicates — 5 separate relate_join passes would
+    recompute all of it per predicate.  Map-side combined: each task
+    emits one partial-count row per predicate.
+    """
+    pairs = _candidates(left, right, res, left_id, right_id, geometry)
+    schema = StructType([
+        StructField("predicate", StringType(), False),
+        StructField("n_partial", LongType(), False),
+    ])
+
+    def refine(batches):
+        acc = {p: 0 for p in predicates}
+        for pdf in batches:
+            for lg, rg in zip(pdf["__lg"], pdf["__rg"]):
+                try:
+                    g1 = wkb.loads(bytes(lg))
+                    g2 = wkb.loads(bytes(rg))
+                    inter = predicate_pair(g1, g2, "intersects")
+                    ii = interiors_intersect(g1, g2) if inter else False
+                    c12 = _contains(g1, g2) if ii else False
+                    c21 = _contains(g2, g1) if ii else False
+                except Exception:
+                    continue
+                vals = {
+                    "intersects": inter,
+                    "touches": inter and not ii,
+                    "overlaps": ii and not c12 and not c21,
+                    "contains": c12,
+                    "within": c21,
+                }
+                for p in predicates:
+                    if vals[p]:
+                        acc[p] += 1
+        yield pd.DataFrame(
+            {"predicate": list(predicates),
+             "n_partial": [acc[p] for p in predicates]}
+        )
+
+    partials = pairs.mapInPandas(refine, schema=schema)
+    return (
+        partials.groupBy("predicate")
+        .agg(F.sum("n_partial").cast("long").alias("n_pairs"))
+    )
 
 
 def relate_any(

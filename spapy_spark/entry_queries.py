@@ -58,8 +58,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer splits
+    than the session has cores — the sf tables are single parquet
+    files, which would serialize every downstream explode/Python stage
+    onto one task.  No-op (no Exchange) for well-partitioned inputs."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    o = _spread(load(spark, sf_dir, "orders"), spark)
     k = F.col("o_orderkey")
     return o.select(
         k.alias("point_id"),

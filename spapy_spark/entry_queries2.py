@@ -349,28 +349,8 @@ def q_centroid_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     bbox bounds (exact), centroid (dither-rounded) over the derived
     boxes (/root/reference/SpaVectors.py:690-754,871)."""
     boxes = _boxes_df(spark, sf_dir)
-    boxes = vector.with_area(boxes)
-    boxes = vector.with_bounds(boxes)
-    cent = vector.centroid(
-        boxes.select("point_id", "geometry")
-    )
-
-    def xy(batches):
-        for pdf in batches:
-            pts = [wkb.loads(bytes(b))["coordinates"] for b in pdf["geometry"]]
-            yield pd.DataFrame({
-                "point_id": pdf["point_id"],
-                "cx": [float(p[0]) for p in pts],
-                "cy": [float(p[1]) for p in pts],
-            })
-
-    cxy = cent.mapInPandas(xy, schema="point_id bigint, cx double, cy double")
-    j = boxes.select(
-        "point_id", "area",
-        F.col("bbox.minx").alias("minx"), F.col("bbox.miny").alias("miny"),
-        F.col("bbox.maxx").alias("maxx"), F.col("bbox.maxy").alias("maxy"),
-    ).join(cxy, "point_id")
-    return j.select(
+    info = vector.with_feature_info(boxes)
+    return info.select(
         "point_id", "area", "minx", "miny", "maxx", "maxy",
         _dither_round(F.col("cx"), 6).alias("cx"),
         _dither_round(F.col("cy"), 6).alias("cy"),

@@ -242,23 +242,25 @@ def knn_join_grid(
     dx = F.col("__px") - F.col("__sx")
     dy = F.col("__py") - F.col("__sy")
     d2 = dx * dx + dy * dy
-    cand = j.select(
-        point_id,
-        F.struct(d2.alias("d2"), F.col("__sid").alias("sid")).alias("c"),
+    # per-point top-k via a window over (d2, site_id): sort-based, so
+    # it SPILLS gracefully — the previous collect_list/array_sort
+    # ObjectHashAggregate held every point's candidate array on heap
+    # and OOM'd 32-thread local JVMs at moderate scale
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(point_id).orderBy(
+        F.col("__d2").asc(), F.col("__sid").asc()
     )
+    cand = j.select(point_id, F.col("__sid"), d2.alias("__d2"))
     top = (
-        cand.groupBy(point_id)
-        .agg(F.slice(F.array_sort(F.collect_list("c")), 1, k).alias("top"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
         .select(
             point_id,
-            F.posexplode("top").alias("pos", "c"),
-        )
-        .select(
-            point_id,
-            F.col("c.sid").alias("site_id"),
-            (F.col("pos") + 1).cast("long").alias("rank"),
-            F.sqrt(F.col("c.d2")).alias("dist"),
-            (F.sqrt(F.col("c.d2")) < F.lit(bound)).alias("certain"),
+            F.col("__sid").alias("site_id"),
+            "rank",
+            F.sqrt(F.col("__d2")).alias("dist"),
+            (F.sqrt(F.col("__d2")) < F.lit(bound)).alias("certain"),
         )
     )
     return top

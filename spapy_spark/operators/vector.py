@@ -486,6 +486,45 @@ def with_bounds(df: DataFrame, geometry: str = "geometry") -> DataFrame:
     return df.withColumn("bbox", u(F.col(geometry)))
 
 
+def with_feature_info(df: DataFrame, geometry: str = "geometry") -> DataFrame:
+    """All per-feature info in ONE decode pass: area, bounds, centroid
+    (columns area, minx, miny, maxx, maxy, cx, cy appended).
+
+    The composed with_area→with_bounds→centroid chain decodes every
+    WKB three times across three Python stages; feature-info dashboards
+    want all of it, so fuse (reference computes each in its own
+    full-layer loop, /root/reference/SpaVectors.py:690-754,871)."""
+    from pyspark.sql.types import DoubleType as _D
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(c, _D(), True)
+           for c in ("area", "minx", "miny", "maxx", "maxy", "cx", "cy")]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            cols = {c: [] for c in
+                    ("area", "minx", "miny", "maxx", "maxy", "cx", "cy")}
+            for buf in pdf[geometry]:
+                g = wkb.loads(bytes(buf))
+                cols["area"].append(kernels.geom_area(g))
+                b = kernels.geom_bounds(g)
+                cols["minx"].append(b[0])
+                cols["miny"].append(b[1])
+                cols["maxx"].append(b[2])
+                cols["maxy"].append(b[3])
+                cx, cy = kernels.geom_centroid(g)
+                cols["cx"].append(cx)
+                cols["cy"].append(cy)
+            out = pdf.copy()
+            for c, v in cols.items():
+                out[c] = v
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def layer_bounds(df: DataFrame, geometry: str = "geometry") -> tuple:
     """Layer-level (minx, miny, maxx, maxy) — partial+final agg
     (/root/reference/SpaVectors.py:754-782)."""

@@ -25,6 +25,10 @@ ENGINE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # deterministic timestamps across engines
     "spark.sql.session.timeZone": "UTC",
+    # local[32] runs 32 executor threads in ONE JVM — Spark's 1g
+    # default heap OOMs on any sort/agg-heavy stage; only applies at
+    # session creation (a cluster deployment sets its own sizing)
+    "spark.driver.memory": "6g",
 }
 
 

@@ -63,6 +63,29 @@ def main():
         "coalesces the shuffle read at runtime (adaptive shuffle "
         "sizing, north rule).",
     )
+    from spapy_spark.operators import knn  # noqa: E402
+
+    wd = knn.within_distance(
+        pts.limit(10000), synth.sites(spark, 64), 3.0, res=6
+    )
+    cap(
+        "Distance-within join (pure Catalyst, both sides unbounded)", wd,
+        "Range join via buffered cell covering: sites bucket to one "
+        "cell, points explode to the (2rx+1)×(2ry+1) neighborhood, one "
+        "hash join on the integer cell + exact distance filter — no "
+        "Python node, no broadcast; the shuffle key is the cell.",
+    )
+    kg = knn.knn_join_grid(
+        pts.limit(10000), synth.sites(spark, 64), k=3, res=3, ring=2
+    )
+    cap(
+        "Distributed grid kNN (no broadcast, no Python)", kg,
+        "Both sides quantize once; the Δ-sequence explode keeps the "
+        "expression tree O(1) in the ring; per-point top-k is "
+        "`array_sort(collect_list(...))` — whole-stage codegen "
+        "end-to-end. `knn_join_grid_total` escalates the ring for the "
+        "(shrinking) uncertain remainder.",
+    )
     hdr = (
         "# Physical plans — the 100 TB checklist, evidenced\n\n"
         "Captured from live `explain` output (regenerate: "

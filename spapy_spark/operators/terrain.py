@@ -429,3 +429,55 @@ def focal(
     return msgs.groupBy("raster_id", "band", "tile_y", "tile_x").applyInPandas(
         assemble, schema=out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# ColorRelief (gdaldem color-relief parity — reference SpaTopo.py:354)
+# ---------------------------------------------------------------------------
+
+# (elevation, r, g, b) — a standard hypsometric ramp; callers pass
+# their own (gdaldem reads it from a color file)
+DEFAULT_RAMP = (
+    (-500.0, 49, 79, 143),
+    (0.0, 110, 220, 110),
+    (500.0, 240, 230, 140),
+    (1000.0, 180, 120, 70),
+    (2000.0, 255, 255, 255),
+)
+
+
+def color_relief(
+    tiles: DataFrame,
+    ramp=DEFAULT_RAMP,
+    out_raster_id: str = "relief",
+) -> DataFrame:
+    """DEM → 3-band RGB relief, gdaldem color-relief semantics
+    (/root/reference/SpaTopo.py:354-367 shells out to
+    gdal.DEMProcessing): linear interpolation between ramp entries,
+    clamped to the end colors outside the range, rounded to integer
+    levels.  Purely per-tile (no halo) — each input tile maps to three
+    output rows (band 1/2/3 = R/G/B); nodata pixels keep nodata."""
+    elev = np.array([r[0] for r in ramp], dtype=np.float64)
+    chans = [np.array([r[c] for r in ramp], dtype=np.float64)
+             for c in (1, 2, 3)]
+    schema = tiles.schema
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = _buf(r.pixels, r.height, r.width).astype(np.float64)
+                mask = np.equal(a, np.float64(np.float32(r.nodata)))
+                for band, cv in enumerate(chans, start=1):
+                    out = np.rint(np.interp(a, elev, cv))
+                    out = np.where(mask, np.float64(r.nodata), out)
+                    rows.append((
+                        out_raster_id, band, r.tile_y, r.tile_x,
+                        r.height, r.width, r.nodata,
+                        out.astype("<f4").tobytes(),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "raster_id", "band", "tile_y", "tile_x", "height",
+                "width", "nodata", "pixels"])
+
+    return tiles.mapInPandas(run, schema=schema)

@@ -158,3 +158,42 @@ def test_lang_ngram(spark):
     out = {r["doc_id"]: r["lang_pred"]
            for r in text.lang_ngram(docs).collect()}
     assert out[0] == "en" and out[1] == "de" and out[2] == "fr"
+
+
+def test_ivf_cosine_topk_recall(spark):
+    from spapy_spark.operators import ann
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.cosine_topk_arrow(emb, queries, k=5).collect()
+    approx = ann.ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=4
+    ).collect()
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.7, recall
+    # probing ALL centroids must recover the exact answer
+    full = ann.ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=8
+    ).collect()
+    got_full = {(r["query_id"], r["vec_id"]) for r in full}
+    assert got_full == want
+
+
+def test_cosine_topk_arrow_matches_exact(spark):
+    from spapy_spark.operators import ann
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ann.cosine_topk_arrow(emb, queries, k=5).collect()
+    b = ann.cosine_topk(emb, queries, k=5).collect()
+    ka = {(r["query_id"], r["rank"]): r["vec_id"] for r in a}
+    kb = {(r["query_id"], r["rank"]): r["vec_id"] for r in b}
+    assert ka == kb
+    ca = {(r["query_id"], r["rank"]): r["cosine"] for r in a}
+    cb = {(r["query_id"], r["rank"]): r["cosine"] for r in b}
+    for key in ca:
+        assert abs(ca[key] - cb[key]) < 1e-9

@@ -252,3 +252,24 @@ def test_polygonize_exact_boundaries(spark):
         assert kernels.geom_area(g) == pytest.approx(
             r["n_pixels"] * px_area, rel=1e-9
         )
+
+
+def test_color_relief(spark, smooth_tiles):
+    out = terrain.color_relief(smooth_tiles).collect()
+    # 3 bands per input tile
+    assert len(out) == synth.GRID * synth.GRID * 3
+    assert sorted({r["band"] for r in out}) == [1, 2, 3]
+    # whole-raster oracle per band
+    gy, gx = np.mgrid[0:synth.GRID * synth.TILE, 0:synth.GRID * synth.TILE]
+    arr = synth.dem_value(gx.astype(np.float64), gy.astype(np.float64)).astype(
+        np.float64
+    )
+    elev = np.array([r[0] for r in terrain.DEFAULT_RAMP])
+    for band in (1, 2, 3):
+        cv = np.array([r[band] for r in terrain.DEFAULT_RAMP], dtype=np.float64)
+        want = np.rint(np.interp(arr, elev, cv)).astype(np.float32)
+        got = _assemble([r for r in out if r["band"] == band])
+        np.testing.assert_array_equal(got, want)
+    # values are integer color levels in range
+    g = _assemble([r for r in out if r["band"] == 1])
+    assert g.min() >= 0 and g.max() <= 255

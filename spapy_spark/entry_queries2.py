@@ -461,6 +461,43 @@ def _crs_oracle_sql() -> str:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'view' event matched to the user's most recent
+    prior (≤) 'click' — oracle is DuckDB's NATIVE ASOF JOIN, so the
+    union+window carry-forward plan is checked against a first-party
+    implementation of the semantics."""
+    from .operators import asof
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click"), F.col("value").alias("cval"),
+    )
+    out = asof.asof_join(
+        views, clicks, on="ts", by="user_id",
+        right_cols=["click", "cval"], suffix="_m",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("click_m").alias("click_id"),
+        F.col("cval_m").alias("click_value"),
+        F.col("ts_m").alias("click_ts"),
+    ).orderBy("event_id")
+
+
+_ASOF_SQL = (
+    "SELECT l.event_id, l.user_id, r.event_id AS click_id,"
+    " r.value AS click_value, r.ts AS click_ts"
+    " FROM (SELECT * FROM events WHERE event_type = 'view') l"
+    " ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r"
+    " ON l.user_id = r.user_id AND l.ts >= r.ts"
+    " ORDER BY l.event_id"
+)
+
+
 def q_ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k through the PRODUCTION Arrow-matmul plan —
     same oracle as ann_cosine (rounded to 6 dp: float64 matmul vs
@@ -500,6 +537,7 @@ def build_queries() -> dict:
         "knn_sites_grid": q_knn_sites_grid,
         "crs_webmercator": q_crs_webmercator,
         "ann_cosine_arrow": q_ann_cosine_arrow,
+        "events_asof": q_events_asof,
     }
 
 
@@ -516,4 +554,5 @@ def build_oracle_sql() -> dict:
         "knn_sites_grid": _knn_oracle_sql(),
         "crs_webmercator": _crs_oracle_sql(),
         "ann_cosine_arrow": _ann_arrow_oracle_sql(),
+        "events_asof": _ASOF_SQL,
     }

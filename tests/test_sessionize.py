@@ -60,3 +60,38 @@ def test_stateful_streaming_matches_batch(spark, tmp_path, small_events):
         for r in spark.sql("SELECT * FROM sess_state").collect()
     }
     assert got == {1: (2, 4), 2: (2, 2)}
+
+
+def test_asof_join_matches_pandas(spark):
+    """asof_join vs pandas merge_asof (backward, inclusive) on the
+    events fixture, both inner and left modes."""
+    import pandas as pd
+    from spapy_spark.operators import asof
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click")
+    )
+    got = asof.asof_join(
+        views, clicks, on="ts", by="user_id", right_cols=["click"],
+        suffix="_m", how="left",
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+
+    lp = views.toPandas().sort_values("ts")
+    rp = clicks.toPandas().sort_values("ts")
+    want = pd.merge_asof(
+        lp, rp.rename(columns={"click": "click_m", "ts": "ts_m"}),
+        left_on="ts", right_on="ts_m", by="user_id",
+        direction="backward", allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    for a, b in zip(got["click_m"], want["click_m"]):
+        assert (pd.isna(a) and pd.isna(b)) or a == b
+    inner = asof.asof_join(
+        views, clicks, on="ts", by="user_id", right_cols=["click"],
+        suffix="_m", how="inner",
+    ).count()
+    assert inner == int(want["click_m"].notna().sum())

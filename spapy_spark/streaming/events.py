@@ -67,3 +67,27 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    docs: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup over an arriving crawl: first occurrence
+    of each text fingerprint wins; re-crawled duplicates within the
+    watermark horizon are dropped with BOUNDED state (fingerprints
+    older than the watermark age out — the standard watermarked-
+    dropDuplicates contract for unbounded streams).
+
+    Pure built-in plan: md5 fingerprint (JVM codegen) →
+    ``withWatermark`` → ``dropDuplicates([fp])`` — state is one tiny
+    row per distinct fingerprint in the horizon, not per document.
+    """
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        docs.withColumn("fp", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["fp"])
+    )

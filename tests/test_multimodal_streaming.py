@@ -119,3 +119,41 @@ def test_streaming_pip_pipeline_matches_batch(spark, tmp_path):
     want = {r["zone_id"]: r["n_docs"]
             for r in pip.pip_count_by_zone(geo, zones).collect()}
     assert got == want and len(want) > 10
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """dedup_stream over arriving crawl files == batch exact dedup
+    (first occurrence per fingerprint), exercised via availableNow."""
+    from spapy_spark.sources import synth as sy
+    from spapy_spark.streaming import events as sev
+
+    src = str(tmp_path / "crawl")
+    # two files with overlapping duplicate texts (ids repeat mod 50)
+    ids1 = np.arange(0, 100)
+    ids2 = np.arange(50, 150)  # 50..99 duplicate text of file 1? no —
+    # webpages text is a function of id, so duplicate IDS duplicate text
+    pdf1 = sy.webpages_pdf(ids1 % 60)     # collisions inside the file
+    pdf2 = sy.webpages_pdf(ids2 % 60)     # and across files
+    spark.createDataFrame(pdf1.assign(
+        warc_ts=pdf1["warc_ts"].dt.to_pydatetime()), schema=sy.WEBPAGES_SCHEMA
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf2.assign(
+        warc_ts=pdf2["warc_ts"].dt.to_pydatetime()), schema=sy.WEBPAGES_SCHEMA
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(sy.WEBPAGES_SCHEMA).parquet(src)
+    dd = sev.dedup_stream(stream)
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    (
+        dd.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir)
+    batch = spark.read.parquet(src).select(F.md5("text").alias("fp")).distinct()
+    assert got.select("fp").distinct().count() == batch.count()
+    assert got.count() == batch.count()  # exactly one row per fingerprint

@@ -188,3 +188,147 @@ def read_spark(spark, path: str):
     """Shapefile → Spark feature table (driver parse, distributed use)."""
     pdf = read_pdf(path)
     return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Writer (reference Save — /root/reference/SpaVectors.py:240-281 via
+# fiona; here a from-scratch .shp/.shx/.dbf emitter)
+# ---------------------------------------------------------------------------
+
+_WTYPE = {"Point": 1, "LineString": 3, "MultiLineString": 3,
+          "Polygon": 5, "MultiPolygon": 5}
+
+
+def _cw(r: np.ndarray) -> np.ndarray:
+    return r if kernels.ring_signed_area(r) <= 0 else r[::-1]
+
+
+def _ccw(r: np.ndarray) -> np.ndarray:
+    return r if kernels.ring_signed_area(r) > 0 else r[::-1]
+
+
+def _shp_rings(g: dict) -> list[np.ndarray]:
+    """Shapefile ring list: exteriors CW, holes CCW (ESRI spec)."""
+    t = g["type"]
+    if t in ("LineString",):
+        return [np.asarray(g["coordinates"], dtype=np.float64)]
+    if t == "MultiLineString":
+        return [np.asarray(c, dtype=np.float64) for c in g["coordinates"]]
+    out = []
+    for rings in wkb.polygons_of(g):
+        out.append(_cw(np.asarray(rings[0], dtype=np.float64)))
+        out.extend(_ccw(np.asarray(h, dtype=np.float64)) for h in rings[1:])
+    return out
+
+
+def _dbf_fields(pdf: pd.DataFrame, cols: list[str]):
+    fields = []
+    for c in cols:
+        s = pdf[c]
+        if pd.api.types.is_integer_dtype(s):
+            fields.append((c, "N", 18, 0))
+        elif pd.api.types.is_float_dtype(s):
+            fields.append((c, "N", 19, 11))
+        elif pd.api.types.is_bool_dtype(s):
+            fields.append((c, "L", 1, 0))
+        else:
+            width = max(
+                [1] + [len(str(v)) for v in s if v is not None]
+            )
+            fields.append((c, "C", min(max(width, 1), 254), 0))
+    return fields
+
+
+def write_pdf(pdf: pd.DataFrame, path: str, geometry: str = "geometry") -> None:
+    """Feature table (WKB ``geometry`` + attribute columns) →
+    .shp/.shx/.dbf triplet.  2D only; one shape class per file (the
+    shapefile format's own constraint): points, lines, or polygons.
+    Null geometries write as null shapes (type 0), matching the
+    reader's None round-trip."""
+    base = path[:-4] if path.lower().endswith(".shp") else path
+    geoms = [
+        wkb.loads(bytes(b)) if b is not None else None
+        for b in pdf[geometry]
+    ]
+    stypes = {_WTYPE[g["type"]] for g in geoms if g is not None}
+    if len(stypes) > 1:
+        raise ValueError(f"mixed shape classes {stypes} in one shapefile")
+    stype = stypes.pop() if stypes else 0
+
+    recs = []
+    bb = [np.inf, np.inf, -np.inf, -np.inf]
+    for g in geoms:
+        if g is None:
+            recs.append(struct.pack("<i", 0))
+            continue
+        if stype == 1:
+            x, y = float(g["coordinates"][0]), float(g["coordinates"][1])
+            recs.append(struct.pack("<idd", 1, x, y))
+            bb = [min(bb[0], x), min(bb[1], y), max(bb[2], x), max(bb[3], y)]
+            continue
+        rings = _shp_rings(g)
+        pts = np.vstack(rings)
+        parts = np.cumsum([0] + [len(r) for r in rings[:-1]]).astype("<i4")
+        gx0, gy0 = pts.min(axis=0)
+        gx1, gy1 = pts.max(axis=0)
+        bb = [min(bb[0], gx0), min(bb[1], gy0),
+              max(bb[2], gx1), max(bb[3], gy1)]
+        body = struct.pack("<i4d2i", stype, gx0, gy0, gx1, gy1,
+                           len(rings), len(pts))
+        body += parts.tobytes() + pts.astype("<f8").tobytes()
+        recs.append(body)
+    if not np.isfinite(bb[0]):
+        bb = [0.0, 0.0, 0.0, 0.0]
+
+    def header(total_words: int) -> bytes:
+        h = struct.pack(">i20xi", 9994, total_words)
+        h += struct.pack("<ii4d4x16x", 1000, stype, *bb)
+        return h.ljust(100, b"\x00")
+
+    shp = bytearray()
+    shx = bytearray()
+    off_words = 50
+    for i, body in enumerate(recs):
+        words = len(body) // 2
+        shp += struct.pack(">ii", i + 1, words) + body
+        shx += struct.pack(">ii", off_words, words)
+        off_words += 4 + words
+    with open(base + ".shp", "wb") as f:
+        f.write(header(off_words) + bytes(shp))
+    with open(base + ".shx", "wb") as f:
+        f.write(header(50 + 4 * len(recs)) + bytes(shx))
+
+    # .dbf
+    cols = [c for c in pdf.columns if c != geometry]
+    fields = _dbf_fields(pdf, cols)
+    rsize = 1 + sum(f[2] for f in fields)
+    hsize = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    out += struct.pack("<4BiHH20x", 0x03, 24, 1, 1, len(pdf), hsize, rsize)
+    for name, ftype, flen, fdec in fields:
+        out += struct.pack(
+            "<11sc4xBB14x", name.encode("ascii")[:10].ljust(11, b"\x00"),
+            ftype.encode(), flen, fdec,
+        )
+    out += b"\x0d"
+    for _, row in pdf[cols].iterrows() if cols else enumerate(range(len(pdf))):
+        out += b" "
+        for (name, ftype, flen, fdec) in fields:
+            v = row[name]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                out += b" " * flen
+            elif ftype == "N" and fdec == 0:
+                out += f"{int(v):>{flen}d}".encode("ascii")[-flen:]
+            elif ftype == "N":
+                out += f"{float(v):>{flen}.{fdec}f}".encode("ascii")[-flen:]
+            elif ftype == "L":
+                out += b"T" if v else b"F"
+            else:
+                out += str(v).encode("cp1252", "replace")[:flen].ljust(
+                    flen, b" "
+                )
+    if not cols:
+        out += b" " * (rsize * len(pdf) - len(pdf))
+    out += b"\x1a"
+    with open(base + ".dbf", "wb") as f:
+        f.write(bytes(out))

@@ -68,3 +68,53 @@ def test_spark_roundtrip_and_dispatch(spark):
     assert areas > 1000  # degrees² of all land
     with pytest.raises(ValueError):
         sio.read_any(spark, "/tmp/x.xyz")
+
+
+def test_writer_roundtrip_polygons(tmp_path):
+    """write_pdf → read_pdf roundtrip on the synthetic zone layer
+    (convex polygons, giant boxes, multipolygons, one holed polygon):
+    geometry areas/bounds and attributes survive."""
+    from spapy_spark.geometry import kernels, wkb
+    from spapy_spark.sources import shapefile, synth
+
+    pdf = synth.zones_pdf(50)
+    p = str(tmp_path / "zones.shp")
+    shapefile.write_pdf(pdf, p)
+    back = shapefile.read_pdf(p)
+    assert len(back) == len(pdf)
+    assert list(back["zone_id"]) == list(pdf["zone_id"])
+    assert list(back["name"]) == list(pdf["name"])
+    for a, b in zip(pdf["pop_est"], back["pop_est"]):
+        assert abs(a - b) <= 1e-9 * max(1.0, abs(a))
+    for ga, gb in zip(pdf["geometry"], back["geometry"]):
+        A = wkb.loads(bytes(ga))
+        B = wkb.loads(bytes(gb))
+        assert kernels.geom_area(B) == pytest.approx(
+            kernels.geom_area(A), rel=1e-12
+        )
+        assert kernels.geom_bounds(B) == pytest.approx(
+            kernels.geom_bounds(A), rel=1e-12
+        )
+
+
+def test_writer_roundtrip_points_and_nulls(tmp_path):
+    from spapy_spark.geometry import wkb
+    from spapy_spark.sources import shapefile
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "fid": [1, 2, 3],
+        "tag": ["a", "b", None],
+        "geometry": [
+            wkb.dumps(wkb.point(1.5, -2.25)),
+            None,
+            wkb.dumps(wkb.point(-100.0, 45.0)),
+        ],
+    })
+    p = str(tmp_path / "pts.shp")
+    shapefile.write_pdf(pdf, p)
+    back = shapefile.read_pdf(p)
+    assert back["geometry"][1] is None
+    g = wkb.loads(bytes(back["geometry"][0]))
+    assert g["type"] == "Point" and tuple(g["coordinates"]) == (1.5, -2.25)
+    assert list(back["fid"]) == [1, 2, 3]

@@ -498,6 +498,71 @@ _ASOF_SQL = (
 )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: day × event_type with
+    subtotal rows per day and a grand total, in ONE pass (Spark
+    ``rollup`` ≡ SQL GROUP BY ROLLUP — Catalyst expands to a single
+    shuffle with grouping-id, not one job per level)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    out = (
+        ev.rollup(day, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return out.orderBy("day", "event_type")
+
+
+_ROLLUP_SQL = (
+    "SELECT date_trunc('day', ts) AS day, event_type,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value"
+    " FROM events GROUP BY ROLLUP (date_trunc('day', ts), event_type)"
+    " ORDER BY day, event_type"
+)
+
+# ASCII-only classes: identical semantics in Java regex (Spark) and
+# RE2 (DuckDB); texts contain '°' which \\w would treat asymmetrically
+_TOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization (word runs + single punctuation marks)
+    — the token-counting flavor LLM data pipelines actually use, as
+    pure codegen SQL (regexp_extract_all, no Python)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+            F.sum(F.length("tok")).alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TOKEN_REGEX_SQL = (
+    "WITH toks AS (SELECT doc_id,"
+    f" unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS tok"
+    " FROM documents)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    " CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,"
+    " CAST(sum(length(tok)) AS BIGINT) AS n_chars"
+    " FROM toks GROUP BY doc_id ORDER BY doc_id"
+)
+
+
 def q_ann_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k through the PRODUCTION Arrow-matmul plan —
     same oracle as ann_cosine (rounded to 6 dp: float64 matmul vs
@@ -538,6 +603,8 @@ def build_queries() -> dict:
         "crs_webmercator": q_crs_webmercator,
         "ann_cosine_arrow": q_ann_cosine_arrow,
         "events_asof": q_events_asof,
+        "events_rollup": q_events_rollup,
+        "token_regex": q_token_regex,
     }
 
 
@@ -555,4 +622,6 @@ def build_oracle_sql() -> dict:
         "crs_webmercator": _crs_oracle_sql(),
         "ann_cosine_arrow": _ann_arrow_oracle_sql(),
         "events_asof": _ASOF_SQL,
+        "events_rollup": _ROLLUP_SQL,
+        "token_regex": _TOKEN_REGEX_SQL,
     }

@@ -669,15 +669,18 @@ def build_queries() -> dict:
 
 
 def _round2_queries() -> dict:
-    from . import entry_queries2
+    from . import entry_queries2, entry_queries3
 
-    return entry_queries2.build_queries()
+    return {**entry_queries2.build_queries(), **entry_queries3.build_queries()}
 
 
 def _round2_oracles() -> dict:
-    from . import entry_queries2
+    from . import entry_queries2, entry_queries3
 
-    return entry_queries2.build_oracle_sql()
+    return {
+        **entry_queries2.build_oracle_sql(),
+        **entry_queries3.build_oracle_sql(),
+    }
 
 
 def build_oracle_sql() -> dict:

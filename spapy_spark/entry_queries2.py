@@ -128,11 +128,14 @@ def q_overlay_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_id="grid_id",
     )
     out = vector.with_area(out)
+    # filter on the UNROUNDED area (a 1/2048² corner sliver would
+    # round to 0 here but be kept by the oracle's pre-round iw/ih>0
+    # filter — ADVICE r2); the oracle filters pre-round too.
     return (
-        out.select(
+        out.where(F.col("area") > 0)
+        .select(
             "point_id", "grid_id", _dither_round(F.col("area"), 6).alias("area")
         )
-        .where(F.col("area") > 0)
         .orderBy("point_id", "grid_id")
     )
 
@@ -148,11 +151,14 @@ def q_overlay_boxes_general(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_id="grid_id", force_general=True,
     )
     out = vector.with_area(out)
+    # filter on the UNROUNDED area (a 1/2048² corner sliver would
+    # round to 0 here but be kept by the oracle's pre-round iw/ih>0
+    # filter — ADVICE r2); the oracle filters pre-round too.
     return (
-        out.select(
+        out.where(F.col("area") > 0)
+        .select(
             "point_id", "grid_id", _dither_round(F.col("area"), 6).alias("area")
         )
-        .where(F.col("area") > 0)
         .orderBy("point_id", "grid_id")
     )
 

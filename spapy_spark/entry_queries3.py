@@ -1,0 +1,692 @@
+"""Round-3 driver-contract queries: oracle twins for the terrain,
+raster-shape (crop/resample/polygonize/contour), and file-IO families
+that were pytest-only in rounds 1-2 (VERDICT r2 item 1).
+
+Fixture discipline — the closed-form-DEM playbook:
+
+* ``synth.quad_value``: an elliptic paraboloid whose Horn/central
+  gradients are nonzero INTEGERS everywhere (closed-form constants on
+  the linear-extrapolated raster border), so slope/aspect/hillshade
+  reduce to per-pixel algebra over (dzdx, dzdy) that DuckDB recomputes.
+  The transcendental tail (atan/atan2) differs from numpy by ≤1 ulp in
+  float64 — the engine's float32 tile codec absorbs it, so BOTH sides
+  compare through a float32 cast, bit-exact (verified empirically:
+  sin/cos/sqrt/degrees are bit-identical glibc, atan/atan2 are 1-ulp,
+  float32(round) of both is identical).
+* TRI/TPI/roughness, crop, nearest/bilinear resample and the block
+  polygonize are dyadic-rational end-to-end → EXACT oracle rows, no
+  rounding at all.
+* GeoTIFF / shapefile IO get contract rows by ROUNDTRIPPING through
+  the from-scratch writer+reader inside the query; the oracle knows
+  only the closed form, so any codec bug breaks the hash.
+
+Reference parity: SpaTopo.py:51-233 (hillshade/slope/aspect/TRI/TPI/
+roughness), SpaTopo.py:185-233 (contour), SpaRasters.py:827-882
+(polygonize), :1235-1498 (crop/resample), :687-782 (GeoTIFF load/save),
+SpaVectors.py:195-260 (shapefile load/save).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .entry_queries import load
+from .operators import raster, terrain, vector
+from .sources import synth
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# Horn == central-difference gradients of the separable quad DEM
+# (integers; boundary columns use the linear-extrapolation closed form:
+# dzdx(0) = X(1)-X(0) = -254, dzdx(255) = X(255)-X(254) = 254, etc.)
+_DZDX = (
+    "CASE WHEN gx = 0 THEN -254.0 WHEN gx = 255 THEN 254.0"
+    " ELSE CAST(2 * gx - 255 AS DOUBLE) END"
+)
+_DZDY = (
+    "CASE WHEN gy = 0 THEN -508.0 WHEN gy = 255 THEN 508.0"
+    " ELSE CAST(2 * (2 * gy - 255) AS DOUBLE) END"
+)
+
+# in-raster sample points derived from orders keys (the raster_sample
+# derivation: lon in [-10, -7.45), lat in (7.45, 10])
+_TPTS_SQL = (
+    "SELECT o_orderkey AS point_id,"
+    " -10.0 + ((o_orderkey * 7919) % 25500) / 10000.0 + 0.00005 AS lon,"
+    " 10.0 - ((o_orderkey * 9973) % 25500) / 10000.0 - 0.00005 AS lat"
+    " FROM orders"
+)
+
+_TPX_SQL = (
+    f"WITH pts AS ({_TPTS_SQL}),"
+    " px AS (SELECT point_id,"
+    " CAST(floor((lon - (-10.0)) / 0.01) AS BIGINT) AS gx,"
+    " CAST(floor((lat - 10.0) / (-0.01)) AS BIGINT) AS gy FROM pts)"
+)
+
+
+def _terrain_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("point_id"),
+        (F.lit(-10.0) + ((k * 7919) % 25500) / 10000.0 + 0.00005).alias("lon"),
+        (F.lit(10.0) - ((k * 9973) % 25500) / 10000.0 - 0.00005).alias("lat"),
+    )
+
+
+def _sampled_focal(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
+    """focal(quad DEM, op) → value-at-point sample → (point_id, value).
+
+    The sampled value is the engine's float32 pixel widened to double —
+    compared bit-exact against the oracle's CAST(... AS FLOAT) twin."""
+    tiles = synth.quad_raster_tiles(spark)
+    out = terrain.focal(tiles, op, grid=synth.GRID, tile=synth.TILE,
+                        out_raster_id=op)
+    pts = _terrain_points(spark, sf_dir)
+    s = raster.sample_points(
+        pts, out, synth.GEOTRANSFORM, synth.TILE, raster_id=op,
+        point_cols=["point_id"],
+    )
+    return s.orderBy("point_id")
+
+
+def q_terrain_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope (degrees) on the quad DEM, sampled at derived points
+    (reference gdaldem-slope path, /root/reference/SpaTopo.py:147-182).
+    """
+    return _sampled_focal(spark, sf_dir, "slope")
+
+
+def _terrain_slope_oracle_sql() -> str:
+    return (
+        _TPX_SQL +
+        " SELECT point_id, CAST(CAST(degrees(atan(sqrt("
+        f" ({_DZDX}) * ({_DZDX}) + ({_DZDY}) * ({_DZDY})"
+        " ))) AS FLOAT) AS DOUBLE) AS value"
+        " FROM px ORDER BY point_id"
+    )
+
+
+def q_terrain_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn aspect (compass degrees) on the quad DEM, sampled
+    (/root/reference/SpaTopo.py:147-182 via gdal.DEMProcessing)."""
+    return _sampled_focal(spark, sf_dir, "aspect")
+
+
+def _terrain_aspect_oracle_sql() -> str:
+    # engine: asp = degrees(atan2(dzdy, -dzdx)); remap to compass.
+    # dzdx/dzdy are never 0 on this DEM, so the atan2 special values
+    # (±0 arguments) are unreachable; the float32 cast absorbs the
+    # 1-ulp float64 atan2 divergence between numpy and DuckDB.
+    return (
+        _TPX_SQL +
+        f", a AS (SELECT point_id, degrees(atan2(({_DZDY}),"
+        f" -({_DZDX}))) AS asp FROM px)"
+        " SELECT point_id, CAST(CAST("
+        " CASE WHEN asp < 0 THEN 90.0 - asp"
+        " WHEN asp > 90.0 THEN 360.0 - asp + 90.0"
+        " ELSE 90.0 - asp END"
+        " AS FLOAT) AS DOUBLE) AS value"
+        " FROM a ORDER BY point_id"
+    )
+
+
+def q_terrain_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade (az 315°, alt 45°, 0-255) on the quad DEM, sampled
+    (/root/reference/SpaTopo.py:51-80 formula family)."""
+    return _sampled_focal(spark, sf_dir, "hillshade")
+
+
+def _terrain_hillshade_oracle_sql() -> str:
+    # mirror hillshade_kernel's FP evaluation order exactly:
+    # slope = pi/2 - atan(sqrt(gx²+gy²)); aspect = atan2(-gx, gy);
+    # az = radians(135); alt = radians(45);
+    # shaded = sin(alt)*sin(slope) + cos(alt)*cos(slope)*cos(az-aspect)
+    # out = 255*(shaded+1)/2  → float32
+    return (
+        _TPX_SQL +
+        f", g AS (SELECT point_id, ({_DZDX}) AS dx, ({_DZDY}) AS dy"
+        " FROM px),"
+        " t AS (SELECT point_id,"
+        " pi() / 2.0 - atan(sqrt(dx * dx + dy * dy)) AS slope,"
+        " atan2(-dx, dy) AS aspect FROM g)"
+        " SELECT point_id, CAST(CAST("
+        " 255.0 * ((sin(radians(45.0)) * sin(slope)"
+        " + cos(radians(45.0)) * cos(slope)"
+        " * cos(radians(135.0) - aspect)) + 1.0) / 2.0"
+        " AS FLOAT) AS DOUBLE) AS value"
+        " FROM t ORDER BY point_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TRI / TPI / roughness — dyadic-exact per-tile stats (no rounding)
+# ---------------------------------------------------------------------------
+
+
+def q_terrain_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRI + TPI + roughness over the quad DEM reduced to per-tile
+    stats.  Every kernel output is an exact multiple of 1/32 (integer
+    quarters in, /8 means out) → sums/mins/maxes are exact in float32
+    AND in the oracle's float64 recomputation — zero rounding."""
+    tiles = synth.quad_raster_tiles(spark)
+    outs = []
+    for op in ("tri", "tpi", "roughness"):
+        o = terrain.focal(tiles, op, grid=synth.GRID, tile=synth.TILE,
+                          out_raster_id=op)
+        outs.append(raster.tile_stats(o))
+    st = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return st.select(
+        F.col("raster_id").alias("op"), "tile_y", "tile_x", "n_valid",
+        F.col("sum").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("op", "tile_y", "tile_x")
+
+
+def _terrain_focal_oracle_sql() -> str:
+    # padded separable DEM: xf on [-1..256] with linear-extrapolated
+    # ends (2·XF(0)−XF(1) = 16510.25; symmetric at 256); yf likewise.
+    return (
+        "WITH pad AS (SELECT i,"
+        " CASE WHEN i = -1 OR i = 256 THEN 16510.25"
+        " ELSE (2*i - 255) * (2*i - 255) / 4.0 END AS xf,"
+        " CASE WHEN i = -1 OR i = 256 THEN 33020.5"
+        " ELSE (2*i - 255) * (2*i - 255) / 2.0 END AS yf"
+        " FROM generate_series(-1, 256) s(i)),"
+        " px AS (SELECT gx, gy FROM generate_series(0, 255) a(gx)"
+        " CROSS JOIN generate_series(0, 255) b(gy)),"
+        " off AS (SELECT dx, dy FROM (VALUES (-1),(0),(1)) o1(dx)"
+        " CROSS JOIN (VALUES (-1),(0),(1)) o2(dy)),"
+        " nb AS (SELECT p.gx, p.gy,"
+        " cx.xf + cy.yf AS z, nx.xf + ny.yf AS zn,"
+        " (o.dx = 0 AND o.dy = 0) AS is_c"
+        " FROM px p CROSS JOIN off o"
+        " JOIN pad cx ON cx.i = p.gx JOIN pad cy ON cy.i = p.gy"
+        " JOIN pad nx ON nx.i = p.gx + o.dx"
+        " JOIN pad ny ON ny.i = p.gy + o.dy),"
+        " k AS (SELECT gx, gy,"
+        " sum(abs(zn - z)) FILTER (WHERE NOT is_c) / 8.0 AS tri,"
+        " any_value(z) - sum(zn) FILTER (WHERE NOT is_c) / 8.0 AS tpi,"
+        " max(zn) - min(zn) AS rough"
+        " FROM nb GROUP BY gx, gy),"
+        " u AS (SELECT 'tri' AS op, gy // 64 AS tile_y, gx // 64 AS tile_x,"
+        " tri AS v FROM k"
+        " UNION ALL SELECT 'tpi', gy // 64, gx // 64, tpi FROM k"
+        " UNION ALL SELECT 'roughness', gy // 64, gx // 64, rough FROM k)"
+        " SELECT op, CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid, sum(v) AS sum_val,"
+        " min(v) AS min_val, max(v) AS max_val"
+        " FROM u GROUP BY op, tile_y, tile_x"
+        " ORDER BY op, tile_y, tile_x"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crop / resample — dyadic-exact per-tile stats
+# ---------------------------------------------------------------------------
+
+
+def q_crop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractByPixels window [37,201)×[22,240) of the algebraic
+    raster → per-tile stats (reference SpaRasters.py:1341-1388).
+    The window straddles all tile borders, so both the pass-through
+    and the edge-slice paths are exercised."""
+    tiles = synth.alg_raster_tiles(spark)
+    out = raster.crop_pixels(tiles, 37, 22, 201, 240, synth.TILE)
+    st = raster.tile_stats(out)
+    return st.select(
+        "tile_y", "tile_x", "n_valid",
+        F.col("sum").cast("long").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("tile_y", "tile_x")
+
+
+def _crop_oracle_sql() -> str:
+    return (
+        "WITH g AS (SELECT gx, gy FROM generate_series(37, 200) a(gx)"
+        " CROSS JOIN generate_series(22, 239) b(gy)),"
+        " v AS (SELECT gy // 64 AS tile_y, gx // 64 AS tile_x,"
+        " ((gx * 37 + gy * 91) % 1000) - 200 AS val FROM g)"
+        " SELECT CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid,"
+        " CAST(sum(val) AS BIGINT) AS sum_val,"
+        " CAST(min(val) AS DOUBLE) AS min_val,"
+        " CAST(max(val) AS DOUBLE) AS max_val"
+        " FROM v GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"
+    )
+
+
+def q_resample_nn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-4 nearest-neighbor downsample → per-tile stats
+    (reference SpaRasters.py:1390-1498).  Tile-local stride composes
+    to the global identity out(y,x) = in(4y, 4x)."""
+    tiles = synth.alg_raster_tiles(spark)
+    out = raster.resample_nearest(tiles, 4, 4, synth.TILE, "nn")
+    st = raster.tile_stats(out)
+    return st.select(
+        "tile_y", "tile_x", "n_valid",
+        F.col("sum").cast("long").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("tile_y", "tile_x")
+
+
+def _resample_nn_oracle_sql() -> str:
+    return (
+        "WITH g AS (SELECT ox, oy FROM generate_series(0, 63) a(ox)"
+        " CROSS JOIN generate_series(0, 63) b(oy)),"
+        " v AS (SELECT oy // 16 AS tile_y, ox // 16 AS tile_x,"
+        " (((4 * ox) * 37 + (4 * oy) * 91) % 1000) - 200 AS val FROM g)"
+        " SELECT CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid,"
+        " CAST(sum(val) AS BIGINT) AS sum_val,"
+        " CAST(min(val) AS DOUBLE) AS min_val,"
+        " CAST(max(val) AS DOUBLE) AS max_val"
+        " FROM v GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"
+    )
+
+
+def q_resample_bilinear_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2× bilinear upsample (halo-exchanged, edge-clamped) → per-tile
+    stats (reference scipy-zoom role, SpaRasters.py:1284-1339).
+    Weights are {1,3,9}/16 on integer pixels → every output value is
+    an exact multiple of 1/16: sums are exact, zero rounding."""
+    tiles = synth.alg_raster_tiles(spark)
+    out = raster.resample_bilinear(tiles, 2, synth.GRID, synth.TILE, "bi2")
+    st = raster.tile_stats(out)
+    return st.select(
+        "tile_y", "tile_x", "n_valid", F.col("sum").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("tile_y", "tile_x")
+
+
+def _resample_bilinear_oracle_sql() -> str:
+    # out pixel (X,Y) ∈ 512²: src y0 = floor((Y-1)/2), fy = .75 if Y
+    # even else .25; samples edge-clamped to [0,255]; z = alg formula.
+    return (
+        "WITH g AS (SELECT ox, oy FROM generate_series(0, 511) a(ox)"
+        " CROSS JOIN generate_series(0, 511) b(oy)),"
+        " c AS (SELECT ox, oy,"
+        " CAST(floor((ox - 1) / 2.0) AS BIGINT) AS x0,"
+        " CAST(floor((oy - 1) / 2.0) AS BIGINT) AS y0,"
+        " CASE WHEN ox % 2 = 0 THEN 0.75 ELSE 0.25 END AS fx,"
+        " CASE WHEN oy % 2 = 0 THEN 0.75 ELSE 0.25 END AS fy FROM g),"
+        " s AS (SELECT ox, oy, fx, fy,"
+        " LEAST(GREATEST(x0, 0), 255) AS xa,"
+        " LEAST(GREATEST(x0 + 1, 0), 255) AS xb,"
+        " LEAST(GREATEST(y0, 0), 255) AS ya,"
+        " LEAST(GREATEST(y0 + 1, 0), 255) AS yb FROM c),"
+        " v AS (SELECT oy // 128 AS tile_y, ox // 128 AS tile_x,"
+        " (((xa * 37 + ya * 91) % 1000) - 200) * (1 - fy) * (1 - fx)"
+        " + (((xa * 37 + yb * 91) % 1000) - 200) * fy * (1 - fx)"
+        " + (((xb * 37 + ya * 91) % 1000) - 200) * (1 - fy) * fx"
+        " + (((xb * 37 + yb * 91) % 1000) - 200) * fy * fx AS val"
+        " FROM s)"
+        " SELECT CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid, sum(val) AS sum_val,"
+        " min(val) AS min_val, max(val) AS max_val"
+        " FROM v GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polygonize (cross-tile dissolve) + contour
+# ---------------------------------------------------------------------------
+
+
+def q_polygonize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile polygonize of the 81-block pattern → per-value
+    component count + pixel sum (reference gdal.Polygonize,
+    SpaRasters.py:827-882).  Block edges at 16+32k never coincide with
+    the 64-px tile grid, so every interior tile border splits blocks —
+    the equivalence-join dissolve does real work for every component.
+    """
+    tiles = synth.block_raster_tiles(spark)
+    out = raster.polygonize_dissolved(tiles, synth.GEOTRANSFORM, synth.TILE)
+    return (
+        out.groupBy("value")
+        .agg(
+            F.count(F.lit(1)).alias("n_polys"),
+            F.sum("n_pixels").alias("n_pixels"),
+        )
+        .orderBy("value")
+    )
+
+
+def _polygonize_oracle_sql() -> str:
+    return (
+        "WITH seg AS (SELECT s,"
+        " CASE WHEN s = 0 OR s = 8 THEN 16 ELSE 32 END AS w"
+        " FROM generate_series(0, 8) t(s)),"
+        " blk AS (SELECT CAST((a.s + 3 * b.s) % 5 AS DOUBLE) AS value,"
+        " a.w * b.w AS px FROM seg a CROSS JOIN seg b)"
+        " SELECT value, CAST(count(*) AS BIGINT) AS n_polys,"
+        " CAST(sum(px) AS BIGINT) AS n_pixels"
+        " FROM blk GROUP BY value ORDER BY value"
+    )
+
+
+_CONTOUR_LEVELS = [5000.125, 20000.125, 40000.125]
+
+
+def q_contour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour of the quad DEM at three levels →
+    per-(level, tile) segment counts (reference gdal.ContourGenerate,
+    /root/reference/SpaTopo.py:185-233).  Levels are odd eighths so
+    no pixel (exact quarters) ever sits ON a level — every sign and
+    every saddle decision is exact in both engines."""
+    tiles = synth.quad_raster_tiles(spark)
+    out = terrain.contour(
+        tiles, _CONTOUR_LEVELS, synth.GRID, synth.TILE, synth.GEOTRANSFORM
+    )
+    return out.select("level", "tile_y", "tile_x", "n_segments").orderBy(
+        "level", "tile_y", "tile_x"
+    )
+
+
+def _contour_oracle_sql() -> str:
+    # cell (gx, gy) spans pixels (gx..gx+1, gy..gy+1); code bits follow
+    # the engine: tl | tr<<1 | br<<2 | bl<<3 on (z > L); saddles
+    # (5, 10) emit 2 segments, other non-trivial codes 1.
+    lvl = ", ".join(f"({repr(v)})" for v in _CONTOUR_LEVELS)
+    return (
+        "WITH lv AS (SELECT CAST(lvl AS DOUBLE) AS level FROM"
+        f" (VALUES {lvl}) t(lvl)),"
+        " px AS (SELECT gx, gy,"
+        " ((2*gx - 255) * (2*gx - 255) + 2 * (2*gy - 255) * (2*gy - 255))"
+        " / 4.0 AS z FROM generate_series(0, 255) a(gx)"
+        " CROSS JOIN generate_series(0, 255) b(gy)),"
+        " cell AS (SELECT c.gx, c.gy, lv.level,"
+        " CASE WHEN tl.z > lv.level THEN 1 ELSE 0 END"
+        " + CASE WHEN tr.z > lv.level THEN 2 ELSE 0 END"
+        " + CASE WHEN br.z > lv.level THEN 4 ELSE 0 END"
+        " + CASE WHEN bl.z > lv.level THEN 8 ELSE 0 END AS code"
+        " FROM (SELECT gx, gy FROM generate_series(0, 254) a(gx)"
+        " CROSS JOIN generate_series(0, 254) b(gy)) c"
+        " CROSS JOIN lv"
+        " JOIN px tl ON tl.gx = c.gx AND tl.gy = c.gy"
+        " JOIN px tr ON tr.gx = c.gx + 1 AND tr.gy = c.gy"
+        " JOIN px bl ON bl.gx = c.gx AND bl.gy = c.gy + 1"
+        " JOIN px br ON br.gx = c.gx + 1 AND br.gy = c.gy + 1)"
+        " SELECT level, CAST(gy // 64 AS INTEGER) AS tile_y,"
+        " CAST(gx // 64 AS INTEGER) AS tile_x,"
+        " CAST(sum(CASE WHEN code IN (5, 10) THEN 2"
+        " WHEN code IN (0, 15) THEN 0 ELSE 1 END) AS INTEGER)"
+        " AS n_segments"
+        " FROM cell GROUP BY level, tile_y, tile_x"
+        " HAVING sum(CASE WHEN code IN (5, 10) THEN 2"
+        " WHEN code IN (0, 15) THEN 0 ELSE 1 END) > 0"
+        " ORDER BY level, tile_y, tile_x"
+    )
+
+
+# ---------------------------------------------------------------------------
+# File IO — roundtrip through the from-scratch writers/readers
+# ---------------------------------------------------------------------------
+
+
+def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the algebraic raster as a real GeoTIFF with the
+    from-scratch writer, re-ingest it with the DISTRIBUTED byte-range
+    reader, reduce to per-tile stats.  The oracle recomputes the
+    closed form — a single flipped byte anywhere in the codec chain
+    breaks the hash (reference Load/Save, SpaRasters.py:687-782)."""
+    from .sources import geotiff
+
+    gy, gx = np.mgrid[0:256, 0:256]
+    arr = synth.alg_value(gx.astype(np.int64), gy.astype(np.int64))
+    path = os.path.join(
+        tempfile.gettempdir(), f"spapy_rt_{os.getpid()}.tif"
+    )
+    geotiff.write_geotiff(path, arr, synth.GEOTRANSFORM, nodata=synth.NODATA)
+    tiles = geotiff.geotiff_tiles(
+        spark, path, tile=synth.TILE, raster_id="alg"
+    )
+    st = raster.tile_stats(tiles)
+    return st.select(
+        "tile_y", "tile_x", "n_valid",
+        F.col("sum").cast("long").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("tile_y", "tile_x")
+
+
+def _geotiff_oracle_sql() -> str:
+    return (
+        "WITH g AS (SELECT gx, gy FROM generate_series(0, 255) a(gx)"
+        " CROSS JOIN generate_series(0, 255) b(gy)),"
+        " v AS (SELECT gy // 64 AS tile_y, gx // 64 AS tile_x,"
+        " ((gx * 37 + gy * 91) % 1000) - 200 AS val FROM g)"
+        " SELECT CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid,"
+        " CAST(sum(val) AS BIGINT) AS sum_val,"
+        " CAST(min(val) AS DOUBLE) AS min_val,"
+        " CAST(max(val) AS DOUBLE) AS max_val"
+        " FROM v GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"
+    )
+
+
+def q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write derived boxes to a real .shp/.shx/.dbf with the
+    from-scratch writer, re-read with the from-scratch reader, compute
+    shoelace areas (exact dyadic) — closed-form oracle; any ring
+    orientation / record framing bug breaks count or hash (reference
+    Load/Save, SpaVectors.py:195-260)."""
+    from .geometry import wkb as _wkb
+    from .sources import shapefile
+
+    # driver-side fixture: same derivation as entry_queries2's
+    # _small_boxes (orders keys % 30), built in pandas
+    import duckdb as _duck
+
+    con = _duck.connect()
+    ks = con.execute(
+        f"SELECT o_orderkey FROM '{sf_dir}/orders.parquet'"
+        " WHERE o_orderkey % 30 = 0 ORDER BY o_orderkey"
+    ).fetchnumpy()["o_orderkey"].astype(np.int64)
+    con.close()
+    cx = ((ks * 9973) % 4096) / 1024.0 - 2.0
+    cy = ((ks * 7919) % 4096) / 1024.0 - 2.0
+    w = (((ks * 31) % 256) + 64) / 1024.0
+    h = (((ks * 57) % 256) + 64) / 1024.0
+    pdf = pd.DataFrame({
+        "point_id": ks,
+        "geometry": [
+            _wkb.dumps(_wkb.box(a - c, b - d, a + c, b + d))
+            for a, b, c, d in zip(cx, cy, w, h)
+        ],
+    })
+    path = os.path.join(
+        tempfile.gettempdir(), f"spapy_rt_{os.getpid()}_boxes.shp"
+    )
+    shapefile.write_pdf(pdf, path)
+    df = shapefile.read_spark(spark, path)
+    out = vector.with_area(df)
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"), "area"
+    ).orderBy("point_id")
+
+
+def _shapefile_oracle_sql() -> str:
+    return (
+        "SELECT o_orderkey AS point_id,"
+        " (2 * ((((o_orderkey * 31) % 256) + 64) / 1024.0))"
+        " * (2 * ((((o_orderkey * 57) % 256) + 64) / 1024.0)) AS area"
+        " FROM orders WHERE o_orderkey % 30 = 0 ORDER BY point_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference overlay — cell-pruned O(N·M) output
+# ---------------------------------------------------------------------------
+
+
+def q_overlay_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise A∖B over boxes × grid (reference nested-loop overlay,
+    /root/reference/SpaVectors.py:964-983): output is inherently
+    O(N·M), but only cell-overlapping candidates run the Python wedge
+    kernel — the disjoint remainder passes the left geometry through
+    pure Catalyst (binary MultiPolygon promotion).  Oracle: closed-form
+    area 4wh − iw·ih per pair, empties (box ⊆ cell) dropped."""
+    from .entry_queries2 import _EPS, _boxes_df, _dither_round, _grid_df
+    from .operators import overlay, vector
+
+    left = _boxes_df(spark, sf_dir)
+    right = _grid_df(spark, _EPS)
+    out = overlay.overlay_join(
+        left, right, "difference", res=7, left_id="point_id",
+        right_id="grid_id",
+    )
+    out = vector.with_area(out)
+    return (
+        out.where(F.col("area") > 0)
+        .select(
+            "point_id", "grid_id",
+            _dither_round(F.col("area"), 6).alias("area"),
+        )
+        .orderBy("point_id", "grid_id")
+    )
+
+
+def _overlay_difference_oracle_sql() -> str:
+    from .entry_queries2 import _BOX_SQL, _EPS, _grid_sql
+
+    return (
+        f"WITH b AS ({_BOX_SQL}), g AS ({_grid_sql(_EPS)}),"
+        " p AS (SELECT point_id, grid_id, 4 * w * h AS area_box,"
+        " GREATEST(LEAST(cx + w, gx2) - GREATEST(cx - w, gx1), 0) AS iw,"
+        " GREATEST(LEAST(cy + h, gy2) - GREATEST(cy - h, gy1), 0) AS ih"
+        " FROM b CROSS JOIN g)"
+        " SELECT point_id, grid_id,"
+        " ROUND(area_box - iw * ih + 0.000000001, 6) AS area"
+        " FROM p WHERE area_box - iw * ih > 0"
+        " ORDER BY point_id, grid_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRS — Albers proj4-string front-end (reference's own test projection)
+# ---------------------------------------------------------------------------
+
+# US Albers, the reference's Albers-test parameter shape
+# (/root/reference/SpaPyTests/Tests/SpaReferencingTest.py:56-89)
+_ALBERS_P4 = "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23.0 +lon_0=-96.0"
+
+
+def q_crs_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal Albers equal-area forward through the proj4-STRING
+    front-end (exercises parse_proj4 → from_proj_dict → the authalic
+    kernel; reference accepts proj4/dict/EPSG interchangeably,
+    /root/reference/SpaReferencing.py:128-135)."""
+    from .entry_queries import derived_points
+    from .geometry import crs
+
+    pts = derived_points(spark, sf_dir)
+
+    def tx(batches):
+        for pdf in batches:
+            x, y = crs.transform_arrays(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                "epsg:4326", _ALBERS_P4,
+            )
+            yield pd.DataFrame({"point_id": pdf["point_id"], "x": x, "y": y})
+
+    out = pts.mapInPandas(tx, schema="point_id bigint, x double, y double")
+    # mm rounding with dyadic-tie dither; ln() differs from numpy's
+    # SIMD log by 1 ulp on ~25% of inputs (~7e-9 absolute at 1e7 m) —
+    # verified to straddle NO 3-dp boundary at sf0.001/0.01/0.1
+    return out.select(
+        "point_id",
+        F.round(F.col("x") + F.lit(1e-9), 3).alias("x"),
+        F.round(F.col("y") + F.lit(1e-9), 3).alias("y"),
+    ).orderBy("point_id")
+
+
+def _dlit(v: float) -> str:
+    """SQL text reconstructing an exact float64 (DuckDB's decimal
+    literal parsing is not correctly rounded, so 17-digit repr would
+    be off by 1 ulp): sign·mantissa·2^exp with integer mantissa."""
+    import math
+
+    if v == 0:
+        return "0.0"
+    m, e = math.frexp(float(v))
+    return f"(CAST({int(m * (1 << 53))} AS BIGINT) * POW(2.0, {e - 53}))"
+
+
+def _crs_albers_oracle_sql() -> str:
+    from .entry_queries import PTS_SQL
+    from .geometry import crs
+
+    alb = crs.Albers(29.5, 45.5, lat_0=23.0, lon_0=-96.0)
+    e2, e = _dlit(crs._E2), _dlit(float(crs._E))
+    a, n = _dlit(crs._A), _dlit(float(alb.n))
+    c, rho0, lon0 = (_dlit(float(alb.C)), _dlit(float(alb.rho0)),
+                     _dlit(float(alb.lon0)))
+    return (
+        f"WITH pts AS ({PTS_SQL}),"
+        " s AS (SELECT point_id, radians(lon) AS lam,"
+        " sin(radians(lat)) AS sp FROM pts),"
+        f" qa AS (SELECT point_id, lam, (1 - {e2}) * (sp /"
+        f" (1 - {e2} * sp * sp) - (1 / (2 * {e})) *"
+        f" ln((1 - {e} * sp) / (1 + {e} * sp))) AS q FROM s),"
+        f" rho AS (SELECT point_id,"
+        f" {a} * sqrt({c} - {n} * q) / {n} AS rho,"
+        f" {n} * (lam - {lon0}) AS th FROM qa)"
+        " SELECT point_id,"
+        " ROUND(0.0 + rho * sin(th) + 0.000000001, 3) AS x,"
+        f" ROUND(0.0 + {rho0} - rho * cos(th) + 0.000000001, 3) AS y"
+        " FROM rho ORDER BY point_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    return {
+        "terrain_slope": q_terrain_slope,
+        "terrain_aspect": q_terrain_aspect,
+        "terrain_hillshade": q_terrain_hillshade,
+        "terrain_focal_stats": q_terrain_focal_stats,
+        "crop_stats": q_crop_stats,
+        "resample_nn_stats": q_resample_nn_stats,
+        "resample_bilinear_stats": q_resample_bilinear_stats,
+        "polygonize_counts": q_polygonize_counts,
+        "contour_counts": q_contour_counts,
+        "geotiff_roundtrip": q_geotiff_roundtrip,
+        "shapefile_roundtrip": q_shapefile_roundtrip,
+        "crs_albers": q_crs_albers,
+        "overlay_difference": q_overlay_difference,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "terrain_slope": _terrain_slope_oracle_sql(),
+        "terrain_aspect": _terrain_aspect_oracle_sql(),
+        "terrain_hillshade": _terrain_hillshade_oracle_sql(),
+        "terrain_focal_stats": _terrain_focal_oracle_sql(),
+        "crop_stats": _crop_oracle_sql(),
+        "resample_nn_stats": _resample_nn_oracle_sql(),
+        "resample_bilinear_stats": _resample_bilinear_oracle_sql(),
+        "polygonize_counts": _polygonize_oracle_sql(),
+        "contour_counts": _contour_oracle_sql(),
+        "geotiff_roundtrip": _geotiff_oracle_sql(),
+        "shapefile_roundtrip": _shapefile_oracle_sql(),
+        "crs_albers": _crs_albers_oracle_sql(),
+        "overlay_difference": _overlay_difference_oracle_sql(),
+    }

@@ -236,9 +236,62 @@ class LambertConformal:
         return np.degrees(self.lon0 + th / self.n), np.degrees(phi)
 
 
+class _UTM:
+    """Dict/proj4 front-end wrapper over the Karney UTM kernels."""
+
+    def __init__(self, zone: int, south: bool = False):
+        self.zone, self.south = int(zone), bool(south)
+
+    def forward(self, lon, lat):
+        return lonlat_to_utm(lon, lat, self.zone, south=self.south)
+
+    def inverse(self, x, y):
+        return utm_to_lonlat(x, y, self.zone, south=self.south)
+
+
+class _WebMercator:
+    def forward(self, lon, lat):
+        return lonlat_to_webmercator(lon, lat)
+
+    def inverse(self, x, y):
+        return webmercator_to_lonlat(x, y)
+
+
+class _LonLat:
+    def forward(self, lon, lat):
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+
+    inverse = forward
+
+
+def parse_proj4(s: str) -> dict:
+    """'+proj=aea +lat_1=29.5 …' → proj dict (the reference accepts
+    proj4 strings alongside dicts/EPSG ints,
+    /root/reference/SpaReferencing.py:128-135)."""
+    out: dict = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            continue
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            try:
+                out[k] = float(v) if k not in ("proj", "ellps", "datum",
+                                               "units") else v
+            except ValueError:
+                out[k] = v
+        else:
+            out[body] = True
+    return out
+
+
 def from_proj_dict(d: dict):
-    """Build a projection from a proj-style dict — the reference's
-    Albers usage shape ({'proj': 'aea', 'lat_1': …, …})."""
+    """Build a projection from a proj-style dict or proj4 string — the
+    reference's input surface ({'proj': 'aea', 'lat_1': …, …} as in
+    its own Albers test, /root/reference/SpaPyTests/Tests/
+    SpaReferencingTest.py:56-89, plus utm/merc/longlat shortcuts)."""
+    if isinstance(d, str):
+        d = parse_proj4(d)
     proj = d.get("proj")
     kw = {k: float(d[k]) for k in ("lat_1", "lat_2", "lat_0", "lon_0",
                                    "x_0", "y_0") if k in d}
@@ -246,6 +299,12 @@ def from_proj_dict(d: dict):
         return Albers(**kw)
     if proj == "lcc":
         return LambertConformal(**kw)
+    if proj == "utm":
+        return _UTM(int(d["zone"]), south=bool(d.get("south", False)))
+    if proj in ("merc", "webmerc"):
+        return _WebMercator()
+    if proj in ("longlat", "latlong"):
+        return _LonLat()
     raise ValueError(f"unsupported proj {proj!r}")
 
 
@@ -275,6 +334,10 @@ def transform_arrays(x, y, src, dst):
     def norm(spec):
         if isinstance(spec, dict):
             return spec
+        if isinstance(spec, int):
+            spec = f"epsg:{spec}"
+        if spec.lstrip().startswith("+"):
+            return parse_proj4(spec)
         s = spec.lower()
         return _EPSG_CONICS.get(s, s)
 

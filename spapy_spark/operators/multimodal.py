@@ -2,13 +2,11 @@
 
 Media ride as opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` transforms.  The actual codec calls are STUBBED (no
-PIL/ffmpeg in this environment): ``decode_image`` with
-``fake=False`` raises NotImplementedError at the exact call site a
-codec library would occupy, and the default deterministic fake decoder
-exercises the full Spark-side contract — schema, batch shape, UDF
-signature, partitioning — so swapping in a real codec is a one-function
-change.
+``mapInPandas`` transforms.  ``decode_image`` with ``fake=False``
+decodes REAL PNG payloads via the from-scratch codec in
+sources/png.py (stdlib zlib + numpy — no PIL); ``fake=True`` keeps a
+deterministic byte-tiling stand-in for synthetic pipelines.  Other
+containers (JPEG, ffmpeg video) would slot into the same seam.
 
 Schema conventions:
 
@@ -63,13 +61,21 @@ def _md(m) -> dict:
 def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
     """Decode one image payload → (H, W, C) uint8.
 
-    ``fake=False`` is the real-codec seam — PIL/turbojpeg goes here.
+    ``fake=False`` decodes REAL PNG payloads through the from-scratch
+    codec (sources/png.py — stdlib zlib + numpy, all five filter
+    types); other container formats (JPEG etc.) would slot in here.
+    ``fake=True`` keeps the deterministic byte-tiling stand-in for
+    synthetic pipelines/tests that don't carry encoded payloads.
     """
     if not fake:
-        raise NotImplementedError(
-            "real image codec not available in this environment; "
-            "plug PIL.Image.open/np.asarray here"
-        )
+        from ..sources import png
+
+        img = png.decode_png(bytes(payload))
+        if meta.get("channels") and img.shape[2] != meta["channels"]:
+            raise ValueError(
+                f"meta/channels mismatch: {img.shape[2]} != {meta['channels']}"
+            )
+        return img
     return _fake_decode(
         payload, meta["width"], meta["height"], meta["channels"]
     )
@@ -236,14 +242,30 @@ def frame_sample(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def synth_media(spark, n: int = 50, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table for tests."""
+def synth_media(
+    spark, n: int = 50, kind: str = "image", png: bool = False
+) -> DataFrame:
+    """Deterministic media table for tests.  ``png=True`` carries REAL
+    PNG payloads (from-scratch encoder, one filter type per row cycled
+    0..4) for the ``fake=False`` decode path."""
     rows = []
     for i in range(n):
         w, h, c = 32 + (i % 3) * 16, 24 + (i % 2) * 8, 3
-        payload = bytes(
-            ((np.arange(200, dtype=np.int64) * (i + 7)) % 251).astype(np.uint8)
-        )
+        if png:
+            from ..sources import png as _png
+
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [((xx * (i + 3) + yy * ch + ch) % 256) for ch in range(c)],
+                axis=2,
+            ).astype(np.uint8)
+            payload = _png.encode_png(img, filter_type=i % 5)
+        else:
+            payload = bytes(
+                ((np.arange(200, dtype=np.int64) * (i + 7)) % 251).astype(
+                    np.uint8
+                )
+            )
         nf = 20 if kind == "video" else 1
         rows.append((i, kind, payload, (w, h, c, 0, nf)))
     schema = StructType(

@@ -235,7 +235,45 @@ def interiors_intersect(g1: dict, g2: dict) -> bool:
                     )
                 if (~onb).any():
                     return True
+    # every sampled point sat ON the other's boundary — the equal /
+    # boundary-coincident-containment family (contains(A, A) is TRUE
+    # in GEOS).  Decide with a point strictly interior to one side.
+    for a, b in ((g1, g2), (g2, g1)):
+        c = _strict_interior_point(a)
+        if c is not None and _strictly_inside(c, b):
+            return True
     return False
+
+
+def _strictly_inside(c: np.ndarray, g: dict) -> bool:
+    cx, cy = np.array([c[0]]), np.array([c[1]])
+    if not kernels.points_in_polygon_geom(cx, cy, g)[0]:
+        return False
+    for rb in _all_rings(g):
+        if kernels.points_on_ring_boundary(cx, cy, rb, 1e-12)[0]:
+            return False
+    return True
+
+
+def _strict_interior_point(g: dict) -> np.ndarray | None:
+    """A point strictly interior to a simple polygon: ear centroid at
+    the leftmost-lowest hull vertex (guaranteed convex), with
+    vertex-midpoint fallbacks — each candidate verified strictly
+    inside (handles holes/degenerate ears by rejection)."""
+    for rings in wkb.polygons_of(g):
+        r = np.asarray(rings[0], dtype=np.float64)
+        rr = r[:-1] if len(r) > 1 and np.array_equal(r[0], r[-1]) else r
+        n = len(rr)
+        if n < 3:
+            continue
+        i = int(np.lexsort((rr[:, 1], rr[:, 0]))[0])
+        v0, v1, v2 = rr[(i - 1) % n], rr[i], rr[(i + 1) % n]
+        cands = [(v0 + v1 + v2) / 3.0]
+        cands.extend((v1 + q) / 2.0 for q in rr)
+        for c in cands:
+            if _strictly_inside(c, g):
+                return c
+    return None
 
 
 def predicate_pair(g1: dict, g2: dict, predicate: str) -> bool:
@@ -297,8 +335,145 @@ def _contains(g1: dict, g2: dict) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Vectorized axis-aligned-rectangle fast path (struct-of-arrays refine)
+#
+# The dominant real-world overlay/relate workload is small axis-aligned
+# rings (tiles, bboxes, grid cells — and the reference's own Box.shp
+# tests).  Decoding those through wkb.loads + the per-pair dict-geometry
+# kernels pays ~50 µs of interpreter overhead per pair; the whole-batch
+# numpy path below decodes every candidate WKB in ONE frombuffer and
+# decides clip/predicates as array ops — per-pair cost ~0.5 µs.  Pairs
+# that are not rect×rect (holes, non-axis-aligned, multipolygons) fall
+# through to the exact per-pair kernels unchanged.
+# ---------------------------------------------------------------------------
+
+# WKB header of a little-endian single-ring 5-point Polygon
+_RECT_HDR = np.frombuffer(
+    bytes([1, 3, 0, 0, 0, 1, 0, 0, 0, 5, 0, 0, 0]), dtype=np.uint8
+)
+_RECT_LEN = 13 + 5 * 16  # 93 bytes
+
+
+def decode_aa_rects(bufs) -> tuple[np.ndarray, np.ndarray]:
+    """Batch-decode WKB buffers that are axis-aligned rectangles.
+
+    Returns ``(ok, rects)``: ``ok[i]`` is True iff buffer *i* is a
+    little-endian single-ring closed 5-point Polygon whose ring is an
+    axis-aligned non-degenerate rectangle (either orientation, any
+    starting corner); ``rects[i] = (minx, miny, maxx, maxy)`` where ok.
+    """
+    n = len(bufs)
+    ok = np.zeros(n, dtype=bool)
+    rects = np.zeros((n, 4), dtype=np.float64)
+    if n == 0:
+        return ok, rects
+    vals = bufs.to_numpy() if hasattr(bufs, "to_numpy") else np.asarray(bufs, dtype=object)
+    lens = np.fromiter((len(b) for b in vals), dtype=np.int64, count=n)
+    cand = np.nonzero(lens == _RECT_LEN)[0]
+    if len(cand) == 0:
+        return ok, rects
+    raw = np.frombuffer(
+        b"".join(bytes(vals[i]) for i in cand), dtype=np.uint8
+    ).reshape(-1, _RECT_LEN)
+    hdr_ok = (raw[:, :13] == _RECT_HDR).all(axis=1)
+    coords = (
+        np.ascontiguousarray(raw[:, 13:]).view("<f8").reshape(-1, 5, 2)
+    )
+    closed = (coords[:, 0] == coords[:, 4]).all(axis=1)
+    xs, ys = coords[:, :4, 0], coords[:, :4, 1]
+    x0, x1 = xs.min(axis=1), xs.max(axis=1)
+    y0, y1 = ys.min(axis=1), ys.max(axis=1)
+    at_corner = (
+        ((xs == x0[:, None]) | (xs == x1[:, None]))
+        & ((ys == y0[:, None]) | (ys == y1[:, None]))
+    ).all(axis=1)
+    dx = np.diff(coords[:, :, 0], axis=1)
+    dy = np.diff(coords[:, :, 1], axis=1)
+    axis_par = ((dx == 0) ^ (dy == 0)).all(axis=1)
+    good = hdr_ok & closed & at_corner & axis_par & (x0 < x1) & (y0 < y1)
+    idx = cand[good]
+    ok[idx] = True
+    rects[idx, 0] = x0[good]
+    rects[idx, 1] = y0[good]
+    rects[idx, 2] = x1[good]
+    rects[idx, 3] = y1[good]
+    return ok, rects
+
+
+# MultiPolygon(1 part, 1 ring, 5 pts) WKB template for the encoder
+_MP_BOX_LEN = 9 + _RECT_LEN
+_MP_BOX_HDR = np.frombuffer(
+    bytes([1, 6, 0, 0, 0, 1, 0, 0, 0]) + bytes(_RECT_HDR), dtype=np.uint8
+)
+
+
+def encode_mp_boxes(b: np.ndarray) -> list[bytes]:
+    """Batch-encode (m, 4) [minx,miny,maxx,maxy] rows as MultiPolygon
+    WKB (single CCW box ring each) — the fast-path twin of
+    ``wkb.dumps({'type': 'MultiPolygon', ...})``."""
+    m = len(b)
+    out = np.empty((m, _MP_BOX_LEN), dtype=np.uint8)
+    out[:, : len(_MP_BOX_HDR)] = _MP_BOX_HDR
+    ring = np.empty((m, 5, 2), dtype="<f8")
+    ring[:, 0, 0] = b[:, 0]; ring[:, 0, 1] = b[:, 1]
+    ring[:, 1, 0] = b[:, 2]; ring[:, 1, 1] = b[:, 1]
+    ring[:, 2, 0] = b[:, 2]; ring[:, 2, 1] = b[:, 3]
+    ring[:, 3, 0] = b[:, 0]; ring[:, 3, 1] = b[:, 3]
+    ring[:, 4, 0] = b[:, 0]; ring[:, 4, 1] = b[:, 1]
+    out[:, len(_MP_BOX_HDR):] = ring.reshape(m, -1).view(np.uint8)
+    return [r.tobytes() for r in out]
+
+
+def rect_predicates(lr: np.ndarray, rr: np.ndarray) -> dict[str, np.ndarray]:
+    """All relate predicates for rect×rect pairs as whole-batch arrays
+    (interval logic — the closed form the per-pair kernels reduce to
+    on axis-aligned rectangles)."""
+    incl = (
+        (lr[:, 0] <= rr[:, 2]) & (rr[:, 0] <= lr[:, 2])
+        & (lr[:, 1] <= rr[:, 3]) & (rr[:, 1] <= lr[:, 3])
+    )
+    strict = (
+        (lr[:, 0] < rr[:, 2]) & (rr[:, 0] < lr[:, 2])
+        & (lr[:, 1] < rr[:, 3]) & (rr[:, 1] < lr[:, 3])
+    )
+    c12 = (
+        (lr[:, 0] <= rr[:, 0]) & (rr[:, 2] <= lr[:, 2])
+        & (lr[:, 1] <= rr[:, 1]) & (rr[:, 3] <= lr[:, 3])
+    )
+    c21 = (
+        (rr[:, 0] <= lr[:, 0]) & (lr[:, 2] <= rr[:, 2])
+        & (rr[:, 1] <= lr[:, 1]) & (lr[:, 3] <= rr[:, 3])
+    )
+    return {
+        "intersects": incl,
+        "touches": incl & ~strict,
+        "overlaps": strict & ~c12 & ~c21,
+        "contains": c12,
+        "within": c21,
+        "disjoint": ~incl,
+        "crosses": np.zeros(len(lr), dtype=bool),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Distributed joins
 # ---------------------------------------------------------------------------
+
+# persisted covering handles from prior _candidates calls (see the
+# hygiene note inside _candidates)
+_PERSISTED: list = []
+
+
+def release_persisted() -> None:
+    """Unpersist covering caches from earlier overlay/relate queries.
+
+    Safe mid-query: Spark recomputes released blocks on demand — this
+    trades a recompute for bounded storage memory in long sessions."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def _candidates(
@@ -319,6 +494,12 @@ def _candidates(
     """
     from .pip import zone_cell_covering
 
+    # cached-covering hygiene: the persists below must outlive this
+    # call (the join is lazy), so they can't be freed here — but a
+    # long-lived session (the 47-query contract run) must not
+    # accumulate them either.  Each new overlay/relate query releases
+    # the previous query's coverings; release_persisted() frees all.
+    release_persisted()
     lc = zone_cell_covering(left, res, zone_id=left_id, geometry=geometry)
     rc = zone_cell_covering(right, res, zone_id=right_id, geometry=geometry)
     # persist: the covering feeds (a) the level-set collects and (b) up
@@ -330,6 +511,7 @@ def _candidates(
     rcells = rc.select(
         F.col("cell"), F.col(right_id), F.col(geometry).alias("__rg")
     ).persist()
+    _PERSISTED.extend((lcells, rcells))
     # align resolutions: each side's cells are additionally truncated to
     # every coarser level present on the other side, so a fine covering
     # can meet a coarse covering on the equi-join key (cell-prefix
@@ -410,8 +592,36 @@ def overlay_join(
         fn = _OVERLAY_KERNELS.get(op)
     if fn is None:
         raise ValueError(f"unknown overlay op {op!r}")
+    untouched = None
     if op == "intersection":
         pairs = _candidates(left, right, res, left_id, right_id, geometry)
+    elif op == "difference":
+        # reference semantics are O(N·M) output (A∖B = A for disjoint
+        # pairs, /root/reference/SpaVectors.py:964-983) — but only
+        # cell-overlapping candidates can change the left geometry, so
+        # only THEY enter the Python kernel; the (dominant) disjoint
+        # remainder emits the left geometry via pure Catalyst, with a
+        # binary-concat MultiPolygon promotion (type parity with the
+        # kernel output).
+        pairs = _candidates(
+            left, right, res, left_id, right_id, geometry
+        ).persist()
+        _PERSISTED.append(pairs)  # consumed by refine AND the anti-join
+        l_ = left.select(F.col(left_id), F.col(geometry).alias("__lg"))
+        is_poly = F.substring(F.col("__lg"), 2, 4) == F.lit(
+            bytes([3, 0, 0, 0])
+        )
+        promoted = F.when(
+            is_poly,
+            F.concat(F.lit(bytes([1, 6, 0, 0, 0, 1, 0, 0, 0])),
+                     F.col("__lg")),
+        ).otherwise(F.col("__lg"))
+        untouched = (
+            l_.crossJoin(right.select(F.col(right_id)))
+            .join(pairs.select(left_id, right_id),
+                  [left_id, right_id], "left_anti")
+            .select(left_id, right_id, promoted.alias("geometry"))
+        )
     else:
         l_ = left.select(F.col(left_id), F.col(geometry).alias("__lg"))
         r_ = right.select(F.col(right_id), F.col(geometry).alias("__rg"))
@@ -420,26 +630,58 @@ def overlay_join(
         [f for f in pairs.schema.fields if f.name in (left_id, right_id)]
         + [StructField("geometry", BinaryType(), False)]
     )
+    # rect×rect intersection is closed-form; force_general must still
+    # exercise the Greiner–Hormann kernel (strategy-equivalence gate)
+    use_rect_fast = op == "intersection" and not force_general
 
     def refine(batches):
         for pdf in batches:
+            fast = np.zeros(len(pdf), dtype=bool)
+            fast_ids1 = fast_ids2 = fast_geoms = None
+            if use_rect_fast and len(pdf):
+                lok, lr = decode_aa_rects(pdf["__lg"])
+                rok, rr = decode_aa_rects(pdf["__rg"])
+                both = lok & rok
+                ib = np.empty((len(pdf), 4), dtype=np.float64)
+                ib[:, 0] = np.maximum(lr[:, 0], rr[:, 0])
+                ib[:, 1] = np.maximum(lr[:, 1], rr[:, 1])
+                ib[:, 2] = np.minimum(lr[:, 2], rr[:, 2])
+                ib[:, 3] = np.minimum(lr[:, 3], rr[:, 3])
+                # only strictly-overlapping pairs take the fast exit;
+                # touching/disjoint rects keep the per-pair kernel's
+                # exact empty/degenerate handling
+                fast = both & (ib[:, 0] < ib[:, 2]) & (ib[:, 1] < ib[:, 3])
+                if fast.any():
+                    fast_ids1 = pdf[left_id].to_numpy()[fast]
+                    fast_ids2 = pdf[right_id].to_numpy()[fast]
+                    fast_geoms = encode_mp_boxes(ib[fast])
             ids1, ids2, geoms = [], [], []
-            for l_, r_, lg, rg in zip(
-                pdf[left_id], pdf[right_id], pdf["__lg"], pdf["__rg"]
-            ):
+            slow = np.nonzero(~fast)[0] if fast.any() else range(len(pdf))
+            lgs = pdf["__lg"].to_numpy()
+            rgs = pdf["__rg"].to_numpy()
+            li = pdf[left_id].to_numpy()
+            ri = pdf[right_id].to_numpy()
+            for i in slow:
                 try:
-                    g = fn(wkb.loads(bytes(lg)), wkb.loads(bytes(rg)))
+                    g = fn(wkb.loads(bytes(lgs[i])), wkb.loads(bytes(rgs[i])))
                 except Exception:
                     g = None  # invalid inputs skipped (SpaVectors.py:934)
                 if g is None:
                     continue
-                ids1.append(l_)
-                ids2.append(r_)
+                ids1.append(li[i])
+                ids2.append(ri[i])
                 geoms.append(wkb.dumps(g))
+            if fast_geoms is not None:
+                ids1 = list(fast_ids1) + ids1
+                ids2 = list(fast_ids2) + ids2
+                geoms = fast_geoms + geoms
             yield pd.DataFrame({left_id: ids1, right_id: ids2,
                                 "geometry": geoms})
 
-    return pairs.mapInPandas(refine, schema=schema)
+    out = pairs.mapInPandas(refine, schema=schema)
+    if untouched is not None:
+        out = out.unionByName(untouched)
+    return out
 
 
 def overlay_intersection(
@@ -505,17 +747,23 @@ def relate_join(
 
     def refine(batches):
         for pdf in batches:
-            keep = []
-            for i, (lg, rg) in enumerate(zip(pdf["__lg"], pdf["__rg"])):
+            lok, lr = decode_aa_rects(pdf["__lg"])
+            rok, rr = decode_aa_rects(pdf["__rg"])
+            both = lok & rok
+            hold = np.zeros(len(pdf), dtype=bool)
+            if both.any():
+                hold[both] = rect_predicates(lr[both], rr[both])[predicate]
+            lgs = pdf["__lg"].to_numpy()
+            rgs = pdf["__rg"].to_numpy()
+            for i in np.nonzero(~both)[0]:
                 try:
-                    ok = predicate_pair(
-                        wkb.loads(bytes(lg)), wkb.loads(bytes(rg)), predicate
+                    hold[i] = predicate_pair(
+                        wkb.loads(bytes(lgs[i])), wkb.loads(bytes(rgs[i])),
+                        predicate,
                     )
                 except Exception:
-                    ok = False
-                if ok:
-                    keep.append(i)
-            yield pdf.iloc[keep][[left_id, right_id]].reset_index(drop=True)
+                    hold[i] = False
+            yield pdf.loc[hold, [left_id, right_id]].reset_index(drop=True)
 
     return pairs.mapInPandas(refine, schema=schema)
 
@@ -547,10 +795,19 @@ def relate_counts_multi(
     def refine(batches):
         acc = {p: 0 for p in predicates}
         for pdf in batches:
-            for lg, rg in zip(pdf["__lg"], pdf["__rg"]):
+            lok, lr = decode_aa_rects(pdf["__lg"])
+            rok, rr = decode_aa_rects(pdf["__rg"])
+            both = lok & rok
+            if both.any():
+                rp = rect_predicates(lr[both], rr[both])
+                for p in predicates:
+                    acc[p] += int(rp[p].sum())
+            lgs = pdf["__lg"].to_numpy()
+            rgs = pdf["__rg"].to_numpy()
+            for i in np.nonzero(~both)[0]:
                 try:
-                    g1 = wkb.loads(bytes(lg))
-                    g2 = wkb.loads(bytes(rg))
+                    g1 = wkb.loads(bytes(lgs[i]))
+                    g2 = wkb.loads(bytes(rgs[i]))
                     inter = predicate_pair(g1, g2, "intersects")
                     ii = interiors_intersect(g1, g2) if inter else False
                     c12 = _contains(g1, g2) if ii else False

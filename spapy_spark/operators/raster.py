@@ -80,7 +80,22 @@ _TILE_KEY = ["band", "tile_y", "tile_x"]
 
 
 def _buf(b: bytes, h: int, w: int) -> np.ndarray:
-    return np.frombuffer(bytes(b), dtype="<f4").reshape(h, w)
+    """Tile payload → (h, w) array.  The buffer length selects the
+    pixel dtype (reference carries 8 GDAL dtypes,
+    /root/reference/SpaRasters.py:665-685; this engine carries three):
+    4 bytes/px → float32 (the compute type), 1 → uint8 (landcover/
+    class rasters), 2 → int16 (small DEM exports).  Arithmetic
+    operators promote to float64 regardless; dtype-preserving ops
+    (crop, NN resample, reclassify) keep the input's byte width."""
+    b = bytes(b)
+    n = h * w
+    if len(b) == n * 4:
+        return np.frombuffer(b, dtype="<f4").reshape(h, w)
+    if len(b) == n:
+        return np.frombuffer(b, dtype="u1").reshape(h, w)
+    if len(b) == n * 2:
+        return np.frombuffer(b, dtype="<i2").reshape(h, w)
+    raise ValueError(f"pixel buffer {len(b)} B does not match {h}x{w}")
 
 
 def _masked_apply(fn, a, b, nodata, nodata_b=None):
@@ -198,12 +213,16 @@ def reclassify(tiles: DataFrame, bounds: list, values: list,
         for pdf in batches:
             outs = []
             for r in pdf.itertuples(index=False):
-                a = _buf(r.pixels, r.height, r.width).astype(np.float64)
+                a0 = _buf(r.pixels, r.height, r.width)
+                a = a0.astype(np.float64)
                 mask = np.equal(a, np.float64(np.float32(r.nodata)))
                 conds = [(a >= l) & (a < h) for l, h in zip(lo, hi)]
                 out = np.select(conds, vals, default=np.float64(r.nodata))
                 out = np.where(mask, np.float64(r.nodata), out)
-                outs.append(out.astype("<f4").tobytes())
+                # integer tiles stay integer (exact landcover classes;
+                # caller's values/nodata must fit the dtype)
+                odt = a0.dtype if a0.dtype.kind in "iu" else np.dtype("<f4")
+                outs.append(out.astype(odt).tobytes())
             res = pdf.copy()
             res["pixels"] = outs
             res["raster_id"] = out_raster_id

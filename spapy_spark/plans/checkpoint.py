@@ -189,8 +189,11 @@ class CheckpointRunner:
         """Per-partition lineage rows recorded during the stage's run.
 
         Task retries/speculation leave multiple attempt files per
-        partition; only the last attempt (the one whose output the
-        committed write kept) is reported."""
+        partition; the LATEST ATTEMPT OBSERVED per partition is
+        reported.  Note Spark's output commit is first-committer-wins,
+        so under speculation the highest attempt id may describe a
+        non-committed attempt — for deterministic stages rows_out is
+        identical across attempts and wall_ms is informational."""
         import glob
 
         files = glob.glob(os.path.join(self.base, stage, "metrics", "*.parquet"))

@@ -58,6 +58,7 @@ class TiffInfo:
     tile_width: int = 0
     tile_height: int = 0
     tile_offsets: list = field(default_factory=list)
+    tile_byte_counts: list = field(default_factory=list)
     nodata: float | None = None
     geotransform: tuple | None = None
 
@@ -131,11 +132,14 @@ def read_info(path: str) -> TiffInfo:
         endian=endian, compression=int(one(_COMP, 1)),
         samples_per_pixel=int(one(_SPP, 1)),
     )
-    if info.compression != 1:
+    if info.compression not in (1, 8, 32946):
         raise NotImplementedError(
-            f"compressed TIFF (Compression={info.compression}) not "
-            "supported — export uncompressed"
+            f"Compression={info.compression} not supported — only "
+            "uncompressed (1) and Deflate (8/32946)"
         )
+    predictor = int(one(317, 1))
+    if info.compression != 1 and predictor != 1:
+        raise NotImplementedError(f"TIFF Predictor={predictor}")
     if info.samples_per_pixel != 1:
         raise NotImplementedError("multi-band TIFF not supported (band 1 only)")
     if info.bits not in (8, 16, 32):
@@ -144,6 +148,7 @@ def read_info(path: str) -> TiffInfo:
         info.tile_width = int(one(_TILE_W))
         info.tile_height = int(one(_TILE_H))
         info.tile_offsets = [int(v) for v in tags[_TOFF]]
+        info.tile_byte_counts = [int(v) for v in tags.get(_TCNT, [])]
     else:
         info.rows_per_strip = int(one(_RPS, info.height))
         info.strip_offsets = [int(v) for v in tags[_SOFF]]
@@ -166,7 +171,11 @@ def read_info(path: str) -> TiffInfo:
 
 def _rows_bytes(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
     """Read pixel rows [r0, r1) of a STRIP-organized file via direct
-    seeks (uncompressed strips are row-addressable)."""
+    seeks.  Uncompressed strips are row-addressable; Deflate strips
+    (Compression 8/32946) inflate whole — still executor-local and
+    strip-parallel, the task just decodes the strips its rows span."""
+    import zlib
+
     row_bytes = info.width * info.bits // 8
     out = np.empty((r1 - r0, info.width), dtype=info.dtype)
     r = r0
@@ -174,9 +183,16 @@ def _rows_bytes(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
         s = r // info.rows_per_strip
         strip_r0 = s * info.rows_per_strip
         take = min(r1, strip_r0 + info.rows_per_strip) - r
-        off = info.strip_offsets[s] + (r - strip_r0) * row_bytes
-        f.seek(off)
-        raw = f.read(take * row_bytes)
+        if info.compression == 1:
+            off = info.strip_offsets[s] + (r - strip_r0) * row_bytes
+            f.seek(off)
+            raw = f.read(take * row_bytes)
+        else:
+            f.seek(info.strip_offsets[s])
+            comp = f.read(info.strip_byte_counts[s])
+            full = zlib.decompress(comp)
+            skip = (r - strip_r0) * row_bytes
+            raw = full[skip : skip + take * row_bytes]
         out[r - r0 : r - r0 + take] = np.frombuffer(
             raw, dtype=info.dtype
         ).reshape(take, info.width)
@@ -190,10 +206,16 @@ def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
     ntx = (info.width + tw - 1) // tw
     out = np.empty((r1 - r0, info.width), dtype=info.dtype)
     t0, t1 = r0 // th, (r1 - 1) // th
+    import zlib
+
     for ty in range(t0, t1 + 1):
         for tx in range(ntx):
-            f.seek(info.tile_offsets[ty * ntx + tx])
-            raw = f.read(tw * th * info.bits // 8)
+            ti = ty * ntx + tx
+            f.seek(info.tile_offsets[ti])
+            if info.compression == 1:
+                raw = f.read(tw * th * info.bits // 8)
+            else:
+                raw = zlib.decompress(f.read(info.tile_byte_counts[ti]))
             arr = np.frombuffer(raw, dtype=info.dtype).reshape(th, tw)
             y0 = max(r0, ty * th)
             y1 = min(r1, (ty + 1) * th)
@@ -221,13 +243,17 @@ def geotiff_tiles(
     tile: int = 64,
     raster_id: str | None = None,
     nodata: float | None = None,
+    native_dtype: bool = False,
 ) -> "pyspark.sql.DataFrame":  # noqa: F821
     """Distributed GeoTIFF → engine tile table.
 
     One task per tile ROW (height ``tile``): each executor seeks
     straight to its rows and slices them into width-``tile`` tiles —
-    full parallel scan, nothing driver-side but the IFD.  Output
-    pixels are float32 (the engine's cell type), nodata preserved.
+    full parallel scan, nothing driver-side but the IFD.  Pixels are
+    float32 (the engine's compute cell type) by default;
+    ``native_dtype=True`` keeps uint8/int16 buffers as-is (the tile
+    codec infers dtype from byte width — exact landcover semantics,
+    reference dtype table at /root/reference/SpaRasters.py:665-685).
     """
     from .synth import RASTER_SCHEMA
 
@@ -240,10 +266,12 @@ def geotiff_tiles(
     rows = spark.createDataFrame(
         [(ty,) for ty in range(n_ty)], "ty int"
     ).repartition(min(n_ty, spark.sparkContext.defaultParallelism * 2))
-    bc = spark.sparkContext.broadcast((info, path, tile, rid, float(nd)))
+    bc = spark.sparkContext.broadcast(
+        (info, path, tile, rid, float(nd), bool(native_dtype))
+    )
 
     def gen(batches):
-        info_, path_, tile_, rid_, nd_ = bc.value
+        info_, path_, tile_, rid_, nd_, native_ = bc.value
         with open(path_, "rb") as f:
             for pdf in batches:
                 out = []
@@ -254,7 +282,13 @@ def geotiff_tiles(
                         band_rows = _rows_from_tiles(info_, f, r0, r1)
                     else:
                         band_rows = _rows_bytes(info_, f, r0, r1)
-                    a = band_rows.astype("<f4")
+                    if native_ and band_rows.dtype.itemsize in (1, 2):
+                        # engine tile codec is little-endian
+                        a = band_rows.astype(
+                            band_rows.dtype.newbyteorder("<")
+                        )
+                    else:
+                        a = band_rows.astype("<f4")
                     for tx in range(0, info_.width, tile_):
                         sub = np.ascontiguousarray(a[:, tx : tx + tile_])
                         out.append((
@@ -278,11 +312,17 @@ def write_geotiff(
     arr: np.ndarray,
     geotransform: tuple | None = None,
     nodata: float | None = None,
+    compress: str | None = None,
 ) -> None:
-    """Single-band uncompressed little-endian GeoTIFF (strip per 64
-    rows).  Mirrors reference Save (/root/reference/SpaRasters.py:752)
-    for the formats the reader supports — enables lossless roundtrip
-    tests without GDAL."""
+    """Single-band little-endian GeoTIFF (strip per 64 rows),
+    optionally Deflate-compressed (``compress='deflate'`` → per-strip
+    stdlib zlib, Compression tag 8 — the most common real DEM export).
+    Mirrors reference Save (/root/reference/SpaRasters.py:752) for the
+    formats the reader supports — lossless roundtrip without GDAL."""
+    import zlib
+
+    if compress not in (None, "deflate"):
+        raise ValueError(f"unsupported compress={compress!r}")
     a = np.asarray(arr)
     if a.dtype.kind == "f":
         a = a.astype("<f4")
@@ -301,12 +341,19 @@ def write_geotiff(
     header = 8
     data_off = header
     strip_offsets, strip_counts = [], []
+    strip_blobs = []
     off = data_off
     for s in range(n_strips):
         nrows = min(rps, h - s * rps)
+        blob = np.ascontiguousarray(
+            a[s * rps : s * rps + nrows]
+        ).tobytes()
+        if compress == "deflate":
+            blob = zlib.compress(blob, 6)
+        strip_blobs.append(blob)
         strip_offsets.append(off)
-        strip_counts.append(nrows * row_bytes)
-        off += nrows * row_bytes
+        strip_counts.append(len(blob))
+        off += len(blob)
     ifd_off = off
 
     entries = []  # (tag, type, count, value_bytes_or_int)
@@ -327,7 +374,7 @@ def write_geotiff(
     ent(_W, 4, 1, [w])
     ent(_H, 4, 1, [h])
     ent(_BITS, 3, 1, [bits])
-    ent(_COMP, 3, 1, [1])
+    ent(_COMP, 3, 1, [8 if compress == "deflate" else 1])
     ent(_PHOTO, 3, 1, [1])
     ent(_SOFF, 4, n_strips, strip_offsets)
     ent(_SPP, 3, 1, [1])
@@ -354,7 +401,8 @@ def write_geotiff(
 
     with open(path, "wb") as f:
         f.write(b"II" + struct.pack("<HI", 42, ifd_off))
-        f.write(a.tobytes())
+        for blob in strip_blobs:
+            f.write(blob)
         f.write(struct.pack("<H", len(entries)))
         for tag, typ, cnt, val in entries:
             if isinstance(val, tuple):

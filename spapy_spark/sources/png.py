@@ -1,0 +1,166 @@
+"""From-scratch PNG codec (stdlib ``zlib`` + numpy — no PIL).
+
+Fills the real-codec seam in operators/multimodal.py (the reference
+delegates raster/image IO to GDAL/PIL; this engine reads its own
+formats — same spirit as sources/geotiff.py).
+
+Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), no
+interlacing; all five filter types (None/Sub/Up/Average/Paeth) are
+decoded, and the encoder can apply any fixed filter per row (used by
+tests to exercise every reverse-filter path).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=up-left)."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (H,W) / (H,W,1) / (H,W,3) / (H,W,4) → PNG bytes.
+
+    ``filter_type`` applies one fixed filter to every row (0..4);
+    type 0 is the fast default, the others exist so decoders can be
+    tested against real filtered streams."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3, 4):
+        raise ValueError(f"unsupported channel count {c}")
+    color = _COLOR_TYPE[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = a.reshape(h, w * c)
+    prior = np.zeros(w * c, dtype=np.uint8)
+    out_rows = []
+    for y in range(h):
+        raw = rows[y]
+        if filter_type == 0:
+            f = raw
+        elif filter_type == 1:  # Sub
+            left = np.zeros_like(raw)
+            left[c:] = raw[:-c]
+            f = raw - left
+        elif filter_type == 2:  # Up
+            f = raw - prior
+        elif filter_type == 3:  # Average
+            left = np.zeros_like(raw)
+            left[c:] = raw[:-c]
+            f = raw - (
+                (left.astype(np.uint16) + prior.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            left = np.zeros_like(raw)
+            left[c:] = raw[:-c]
+            ul = np.zeros_like(raw)
+            ul[c:] = prior[:-c]
+            f = raw - _paeth(left, prior, ul)
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        out_rows.append(bytes([filter_type]) + f.tobytes())
+        prior = raw
+    idat = zlib.compress(b"".join(out_rows), 6)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 (H, W, C) array (C ∈ {1, 3, 4})."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = []
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"depth={depth} comp={comp} filt={filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    c = _CHANNELS.get(color)
+    if c is None:
+        raise NotImplementedError(f"color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = buf[:, 0]
+    rows = buf[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = ftypes[y]
+        raw_r = rows[y]
+        if ft == 0:
+            rec = raw_r.copy()
+        elif ft == 1:  # Sub: per-channel prefix sum mod 256
+            rec = raw_r.reshape(w, c).cumsum(axis=0, dtype=np.int64)
+            rec = (rec & 0xFF).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = raw_r + prior
+        elif ft == 3:  # Average (left-sequential per pixel)
+            rec = np.empty(stride, dtype=np.uint8)
+            rec[:c] = raw_r[:c] + (prior[:c] // 2)
+            for x in range(c, stride, c):
+                rec[x : x + c] = raw_r[x : x + c] + (
+                    (
+                        rec[x - c : x].astype(np.uint16)
+                        + prior[x : x + c].astype(np.uint16)
+                    )
+                    // 2
+                ).astype(np.uint8)
+        elif ft == 4:  # Paeth (left-sequential per pixel)
+            rec = np.empty(stride, dtype=np.uint8)
+            zero = np.zeros(c, dtype=np.uint8)
+            rec[:c] = raw_r[:c] + _paeth(zero, prior[:c], zero)
+            for x in range(c, stride, c):
+                rec[x : x + c] = raw_r[x : x + c] + _paeth(
+                    rec[x - c : x], prior[x : x + c], prior[x - c : x]
+                )
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out.reshape(h, w, c)

@@ -415,6 +415,64 @@ def alg2_raster_tiles(spark):
     return spark.createDataFrame(rows, schema=RASTER_SCHEMA)
 
 
+def quad_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Closed-form quadratic DEM for the terrain-oracle rows:
+
+        z = ((2·gx − 255)² + 2·(2·gy − 255)²) / 4
+
+    i.e. an elliptic paraboloid centered at the HALF-INTEGER pixel
+    (127.5, 127.5).  Designed so every quantity the terrain kernels
+    derive is SQL-recomputable:
+
+    - values are exact quarters ≤ 48768.75 → bit-exact in float32;
+    - the Horn / central-difference gradients are INTEGERS
+      (dzdx = 2·gx − 255, dzdy = 2·(2·gy − 255) interior; closed-form
+      constants on the linear-extrapolated raster boundary) and — key —
+      NEVER ZERO, so atan2 never sees the ±0.0 argument pair on which
+      numpy (−0.0 → π) and SQL engines (0−x → +0.0 → 0) diverge.
+    """
+    qx = 2.0 * gx - 255.0
+    qy = 2.0 * gy - 255.0
+    return ((qx * qx + 2.0 * qy * qy) / 4.0).astype("<f4")
+
+
+def quad_raster_tiles(spark):
+    rows = []
+    for ty in range(GRID):
+        for tx in range(GRID):
+            gy, gx = np.mgrid[
+                ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
+            ]
+            v = quad_value(gx.astype(np.float64), gy.astype(np.float64))
+            rows.append(("quad", 1, ty, tx, TILE, TILE, NODATA, v.tobytes()))
+    return spark.createDataFrame(rows, schema=RASTER_SCHEMA)
+
+
+def block_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Dyadic block pattern for the polygonize-oracle row: 9×9 axis
+    segments with boundaries at 16 + 32k (so every interior 64-px tile
+    edge CUTS blocks — the cross-tile dissolve is genuinely exercised),
+    value = (sx + 3·sy) mod 5.  Orthogonal neighbors always differ
+    (Δ = 1 or 3 mod 5 ≠ 0), so each of the 81 blocks is exactly one
+    4-connected component — counts/pixel sums are closed-form in SQL.
+    """
+    sx = np.clip((np.asarray(gx, np.int64) + 16) // 32, 0, 8)
+    sy = np.clip((np.asarray(gy, np.int64) + 16) // 32, 0, 8)
+    return ((sx + 3 * sy) % 5).astype("<f4")
+
+
+def block_raster_tiles(spark):
+    rows = []
+    for ty in range(GRID):
+        for tx in range(GRID):
+            gy, gx = np.mgrid[
+                ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
+            ]
+            v = block_value(gx, gy)
+            rows.append(("blocks", 1, ty, tx, TILE, TILE, NODATA, v.tobytes()))
+    return spark.createDataFrame(rows, schema=RASTER_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Relate truth-table squares — FIXTURES §5 (reference golden)
 # ---------------------------------------------------------------------------

@@ -170,3 +170,60 @@ class TestConics:
         x2, y2 = crs.transform_arrays([-96.0], [23.0], "epsg:4326",
                                       self.ALBERS)
         assert x2[0] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestProj4FrontEnd:
+    """proj4-string / dict front-end (reference accepts proj4 strings,
+    dicts, and EPSG ints interchangeably — SpaReferencing.py:128-135)."""
+
+    def test_parse_proj4_tokens(self):
+        d = crs.parse_proj4(
+            "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+            "+x_0=0 +y_0=0 +ellps=GRS80 +no_defs"
+        )
+        assert d["proj"] == "aea"
+        assert d["lat_1"] == 29.5 and d["lon_0"] == -96.0
+        assert d["ellps"] == "GRS80" and d["no_defs"] is True
+
+    def test_proj4_string_equals_dict_path(self):
+        lon = np.array([-120.5, -80.25, -96.0])
+        lat = np.array([34.0, 41.5, 23.0])
+        xs, ys = crs.transform_arrays(
+            lon, lat, "epsg:4326",
+            "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23.0 +lon_0=-96.0",
+        )
+        xd, yd = crs.transform_arrays(
+            lon, lat, "epsg:4326",
+            {"proj": "aea", "lat_1": 29.5, "lat_2": 45.5, "lat_0": 23.0,
+             "lon_0": -96.0},
+        )
+        np.testing.assert_array_equal(xs, xd)
+        np.testing.assert_array_equal(ys, yd)
+
+    def test_utm_and_merc_dict_routes(self):
+        lon = np.array([13.4, 13.6])
+        lat = np.array([52.5, 52.4])
+        xu, yu = crs.transform_arrays(
+            lon, lat, "epsg:4326", {"proj": "utm", "zone": 33}
+        )
+        xe, ye = crs.transform_arrays(lon, lat, "epsg:4326", "epsg:32633")
+        np.testing.assert_array_equal(xu, xe)
+        np.testing.assert_array_equal(yu, ye)
+        xm, ym = crs.transform_arrays(
+            lon, lat, "epsg:4326", "+proj=merc"
+        )
+        xw, yw = crs.lonlat_to_webmercator(lon, lat)
+        np.testing.assert_array_equal(xm, xw)
+        # epsg int input route
+        xi, yi = crs.transform_arrays(lon, lat, 4326, 3857)
+        np.testing.assert_array_equal(xi, xw)
+        np.testing.assert_array_equal(yi, yw)
+
+    def test_proj4_roundtrip_inverse(self):
+        p4 = "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23.0 +lon_0=-96.0"
+        lon = np.array([-100.0, -75.5])
+        lat = np.array([35.0, 44.25])
+        x, y = crs.transform_arrays(lon, lat, "epsg:4326", p4)
+        lo, la = crs.transform_arrays(x, y, p4, "epsg:4326")
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)

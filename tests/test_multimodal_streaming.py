@@ -24,8 +24,17 @@ def test_image_features_shape_and_determinism(spark):
     assert a == b
 
 
-def test_real_codec_seam_raises(spark):
-    with pytest.raises(NotImplementedError):
+def test_real_codec_seam_decodes_png(spark):
+    # the fake=False seam is now a REAL from-scratch PNG decoder
+    # (sources/png.py); garbage payloads fail loudly
+    from spapy_spark.sources import png as _png
+
+    img = (np.arange(2 * 2 * 3, dtype=np.uint8)).reshape(2, 2, 3)
+    buf = _png.encode_png(img)
+    out = mm.decode_image(buf, {"width": 2, "height": 2, "channels": 3},
+                          fake=False)
+    np.testing.assert_array_equal(out, img)
+    with pytest.raises(ValueError):
         mm.decode_image(b"xx", {"width": 2, "height": 2, "channels": 3},
                         fake=False)
 

@@ -161,3 +161,69 @@ def test_sample_points_and_zonal(spark, tiles):
     assert len(got) == n_valid > 400
     zs = {r["zone_id"]: r for r in raster.zonal_stats(out).collect()}
     assert sum(r["n"] for r in zs.values()) == n_valid
+
+
+def test_uint8_tiles_reclassify_exact(spark):
+    # integer landcover tiles end-to-end: uint8 buffers ride the tile
+    # codec (dtype inferred from byte width), reclassify stays uint8
+    # with EXACT integer classes, stats see true values
+    from spapy_spark.sources.synth import RASTER_SCHEMA
+
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            gy, gx = np.mgrid[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+            a = ((gx * 3 + gy * 7) % 200).astype("u1")
+            rows.append(("lc", 1, ty, tx, 64, 64, 255.0, a.tobytes()))
+    tiles = spark.createDataFrame(rows, schema=RASTER_SCHEMA)
+    out = raster.reclassify(tiles, [0, 50, 120, 256], [10, 20, 30],
+                            out_raster_id="cls").collect()
+    assert len(out) == 4
+    for r in out:
+        buf = np.frombuffer(bytes(r["pixels"]), "u1").reshape(64, 64)
+        gy, gx = np.mgrid[r["tile_y"] * 64:(r["tile_y"] + 1) * 64,
+                          r["tile_x"] * 64:(r["tile_x"] + 1) * 64]
+        src = ((gx * 3 + gy * 7) % 200)
+        want = np.select([(src >= 0) & (src < 50), (src >= 50) & (src < 120),
+                          (src >= 120) & (src < 256)], [10, 20, 30])
+        np.testing.assert_array_equal(buf, want.astype("u1"))
+    # stats on the uint8 classes are exact integers
+    st = {(r["tile_y"], r["tile_x"]): r for r in raster.tile_stats(
+        spark.createDataFrame(out, schema=RASTER_SCHEMA)).collect()}
+    for (ty, tx), r in st.items():
+        gy, gx = np.mgrid[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+        src = ((gx * 3 + gy * 7) % 200)
+        want = np.select([(src < 50), (src < 120)], [10, 20], 30)
+        assert r["sum"] == float(want.sum())
+        assert r["min"] == float(want.min()) and r["max"] == float(want.max())
+
+
+def test_int16_geotiff_native_ingest(spark, tmp_path):
+    # int16 DEM written -> native-dtype distributed ingest keeps 2-byte
+    # buffers; crop preserves dtype; float ingest (default) widens
+    from spapy_spark.sources import geotiff
+
+    arr = (((np.arange(128 * 128) * 37) % 4001) - 2000).astype(
+        "<i4").reshape(128, 128)
+    p = str(tmp_path / "i.tif")
+    geotiff.write_geotiff(p, arr, compress="deflate")
+    # write_geotiff stores i4; reread as array
+    got, info = geotiff.read_array(p)
+    np.testing.assert_array_equal(got, arr)
+    # build an int16 tile table directly through the codec
+    a16 = arr.astype("<i2")
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            sub = a16[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+            rows.append(("dem16", 1, ty, tx, 64, 64, -32768.0,
+                         np.ascontiguousarray(sub).tobytes()))
+    from spapy_spark.sources.synth import RASTER_SCHEMA
+
+    tiles = spark.createDataFrame(rows, schema=RASTER_SCHEMA)
+    crop = raster.crop_pixels(tiles, 10, 10, 100, 100, 64).collect()
+    for r in crop:
+        buf = np.frombuffer(bytes(r["pixels"]), "<i2")
+        assert buf.size == r["height"] * r["width"]
+    st = raster.band_stats(tiles).collect()[0]
+    assert st["sum"] == float(a16.astype(np.int64).sum())

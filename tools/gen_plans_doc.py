@@ -90,10 +90,13 @@ def main():
     cap(
         "Distributed grid kNN (no broadcast, no Python)", kg,
         "Both sides quantize once; the Δ-sequence explode keeps the "
-        "expression tree O(1) in the ring; per-point top-k is "
-        "`array_sort(collect_list(...))` — whole-stage codegen "
-        "end-to-end. `knn_join_grid_total` escalates the ring for the "
-        "(shrinking) uncertain remainder.",
+        "expression tree O(1) in the ring; per-point top-k is a "
+        "sort-based window `row_number over (d2, site_id)` (spills "
+        "gracefully — the earlier collect_list/array_sort "
+        "ObjectHashAggregate held every candidate array on heap). "
+        "`knn_join_grid_total` escalates the ring for the (shrinking) "
+        "uncertain remainder, done-flags fused into the same window "
+        "shuffle.",
     )
     hdr = (
         "# Physical plans — the 100 TB checklist, evidenced\n\n"

@@ -124,6 +124,16 @@ def main():
                 "events_sessions",
                 "tpch_q1",
                 "events_hourly",
+                # round-3 operator families (terrain/raster-shape are
+                # fixed-256² fixtures — cheap at any sf; the overlay
+                # difference is the cell-pruned O(N·M) output)
+                "overlay_difference",
+                "terrain_slope",
+                "terrain_focal_stats",
+                "resample_bilinear_stats",
+                "polygonize_counts",
+                "contour_counts",
+                "crs_albers",
             )
         )
         queries = eq.build_queries()

@@ -90,10 +90,11 @@ def _boxes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mk(batches):
         for pdf in batches:
-            geoms = [
-                wkb.dumps(wkb.box(cx - w, cy - h, cx + w, cy + h))
-                for cx, cy, w, h in zip(pdf["cx"], pdf["cy"], pdf["w"], pdf["h"])
-            ]
+            cx = pdf["cx"].to_numpy(); cy = pdf["cy"].to_numpy()
+            w = pdf["w"].to_numpy(); h = pdf["h"].to_numpy()
+            geoms = wkb.dumps_boxes(
+                np.stack([cx - w, cy - h, cx + w, cy + h], axis=1)
+            )
             yield pd.DataFrame({"point_id": pdf["point_id"], "geometry": geoms})
 
     return src.mapInPandas(mk, schema=schema)
@@ -314,10 +315,11 @@ def _small_boxes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mk(batches):
         for pdf in batches:
-            geoms = [
-                wkb.dumps(wkb.box(cx - w, cy - h, cx + w, cy + h))
-                for cx, cy, w, h in zip(pdf["cx"], pdf["cy"], pdf["w"], pdf["h"])
-            ]
+            cx = pdf["cx"].to_numpy(); cy = pdf["cy"].to_numpy()
+            w = pdf["w"].to_numpy(); h = pdf["h"].to_numpy()
+            geoms = wkb.dumps_boxes(
+                np.stack([cx - w, cy - h, cx + w, cy + h], axis=1)
+            )
             yield pd.DataFrame({"point_id": pdf["point_id"], "geometry": geoms})
 
     return src.mapInPandas(mk, schema=schema)

@@ -540,14 +540,18 @@ def _candidates(
 
     lall = with_truncations(lcells, llev, rlev)
     rall = with_truncations(rcells, rlev, llev)
-    pairs = lall.join(rall, "cell").dropDuplicates([left_id, right_id])
-    # the refine that follows is Python-CPU-bound; AQE coalesces this
-    # small shuffle to ONE partition (64 MB advisory) and would
-    # serialize it — spread candidates across the executor cores.
-    # 4 waves/core balances skewed per-pair kernel costs; at scale the
-    # pair stream is large and this repartition is the natural width.
+    # ONE shuffle for dedup + spread: the explicit repartition on the
+    # pair key satisfies the dedup aggregate's required distribution
+    # (Catalyst inserts no second exchange), fixes the width at 4
+    # waves/core for the Python refine (AQE would otherwise coalesce
+    # the small dedup shuffle to ONE partition and serialize it), and
+    # balances skewed per-pair kernel costs.  At scale the pair stream
+    # is large and this width is the natural one.
     n_part = left.sparkSession.sparkContext.defaultParallelism * 4
-    return pairs.repartition(n_part)
+    pairs = lall.join(rall, "cell").repartition(
+        n_part, F.col(left_id), F.col(right_id)
+    ).dropDuplicates([left_id, right_id])
+    return pairs
 
 
 def _union_all(dfs):

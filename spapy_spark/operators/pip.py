@@ -382,20 +382,94 @@ def zone_cell_covering(
     )
 
     def cover(batches):
+        from .overlay import decode_aa_rects
+
         for pdf in batches:
-            cs, zs, gs = [], [], []
-            for zid, buf in zip(pdf[zone_id], pdf[geometry]):
-                g = wkb.loads(bytes(buf))
-                zcells, _eff = cells.zone_cover(
-                    list(wkb.polygons_of(g)), res, max_cells=max_cells
-                )
-                cs.extend(zcells.tolist())
-                zs.extend([zid] * len(zcells))
-                gs.extend([buf] * len(zcells))
-            yield pd.DataFrame({"cell": np.array(cs, np.int64), zone_id: zs,
-                                geometry: gs})
+            zvals = pdf[zone_id].to_numpy()
+            gvals = pdf[geometry].to_numpy()
+            frames = []
+            # whole-batch fast path: axis-aligned rectangles cover
+            # exactly their bbox cells (every bbox cell intersects the
+            # rect), so the per-feature zone_cover loop reduces to
+            # vectorized quantize + repeat/arange cell generation —
+            # cell-for-cell identical to zone_cover's output.
+            rok, rects = decode_aa_rects(gvals)
+            slow_idx = np.nonzero(~rok)[0]
+            if rok.any():
+                r = rects[rok]
+                ridx = np.nonzero(rok)[0]
+                c_cells, c_rid = _rect_cover_batch(r, res, max_cells)
+                frames.append(pd.DataFrame({
+                    "cell": c_cells,
+                    zone_id: zvals[ridx[c_rid]],
+                    geometry: gvals[ridx[c_rid]],
+                }))
+            if len(slow_idx):
+                cs, zs, gs = [], [], []
+                for i in slow_idx:
+                    g = wkb.loads(bytes(gvals[i]))
+                    zcells, _eff = cells.zone_cover(
+                        list(wkb.polygons_of(g)), res, max_cells=max_cells
+                    )
+                    cs.extend(zcells.tolist())
+                    zs.extend([zvals[i]] * len(zcells))
+                    gs.extend([gvals[i]] * len(zcells))
+                frames.append(pd.DataFrame({
+                    "cell": np.array(cs, np.int64), zone_id: zs,
+                    geometry: gs,
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return zones.select(zone_id, geometry).mapInPandas(cover, schema=schema)
+
+
+def _rect_cover_batch(
+    r: np.ndarray, res: int, max_cells: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Covering cells for (n, 4) [minx,miny,maxx,maxy] rectangles.
+
+    Replicates cells.zone_cover bit-for-bit on rectangle inputs: the
+    same adaptive effective res (coarsen until the bbox estimate fits
+    ``max_cells``), the same quantize/clamp math, the same cell ids —
+    just with the per-feature Python loop replaced by one repeat/arange
+    pass.  Returns (cells, rect_index) aligned arrays.
+    """
+    n_r = len(r)
+    # adaptive effective res, vectorized over rects (mirrors
+    # cells.cover_bbox_adaptive's loop)
+    eff = np.zeros(n_r, dtype=np.int64)
+    dlon = r[:, 2] - r[:, 0]
+    dlat = r[:, 3] - r[:, 1]
+    for rr in range(res, 0, -1):
+        ncand = 1 << rr
+        w = dlon / (360.0 / ncand) + 2
+        h = dlat / (180.0 / ncand) + 2
+        eff = np.where((eff == 0) & (w * h <= max_cells), rr, eff)
+    # quantize both corners at each rect's eff (grouped by eff so the
+    # scalar-res encode path is reused verbatim)
+    out_cells, out_rid = [], []
+    for rr in np.unique(eff):
+        m = np.nonzero(eff == rr)[0]
+        rs = int(rr)
+        nn = 1 << rs
+        ix0, iy0 = cells.latlon_to_ij(r[m, 1], r[m, 0], rs)
+        ix1, iy1 = cells.latlon_to_ij(r[m, 3], r[m, 2], rs)
+        ix1 = np.minimum(np.maximum(ix1, ix0), nn - 1)
+        iy1 = np.minimum(np.maximum(iy1, iy0), nn - 1)
+        w = ix1 - ix0 + 1
+        h = iy1 - iy0 + 1
+        cnt = w * h
+        rid = np.repeat(np.arange(len(m)), cnt)
+        offs = np.repeat(np.concatenate([[0], np.cumsum(cnt)])[:-1], cnt)
+        k = np.arange(int(cnt.sum()), dtype=np.int64) - offs
+        ix = ix0[rid] + k // h[rid]
+        iy = iy0[rid] + k % h[rid]
+        out_cells.append(cells.ij_to_cell(ix, iy, rs))
+        out_rid.append(m[rid])
+    if not out_cells:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_cells), np.concatenate(out_rid)
 
 
 def pip_join_cells(

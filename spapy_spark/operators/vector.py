@@ -449,9 +449,76 @@ def _info_udf(fn, ret):
     return u
 
 
+# simple-ring WKB headers for the batched-area fast path
+_HDR_POLY1 = np.frombuffer(
+    bytes([1, 3, 0, 0, 0, 1, 0, 0, 0]), dtype=np.uint8
+)
+_HDR_MP11 = np.frombuffer(
+    bytes([1, 6, 0, 0, 0, 1, 0, 0, 0, 1, 3, 0, 0, 0, 1, 0, 0, 0]),
+    dtype=np.uint8,
+)
+
+
+def _areas_batch(vals: np.ndarray) -> np.ndarray:
+    """Whole-batch shoelace areas; NaN where the WKB is not a simple
+    single-ring Polygon / 1-part MultiPolygon (those fall back to the
+    per-row kernel).  Buffers are grouped by byte length, decoded with
+    one frombuffer per group, and reduced with one vectorized cross
+    product — no per-row wkb.loads in the common case."""
+    n = len(vals)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in vals), dtype=np.int64, count=n)
+    for L in np.unique(lens):
+        # Polygon(1 ring, v pts): 13+16v; MP(1 part, 1 ring): 22+16v —
+        # the two families are disjoint mod 16 (13 vs 6)
+        if L >= 13 + 64 and (L - 13) % 16 == 0:
+            hdr, coff, v = _HDR_POLY1, 13, (L - 13) // 16
+        elif L >= 22 + 64 and (L - 22) % 16 == 0:
+            hdr, coff, v = _HDR_MP11, 22, (L - 22) // 16
+        else:
+            continue
+        idx = np.nonzero(lens == L)[0]
+        raw = np.frombuffer(
+            b"".join(bytes(vals[i]) for i in idx), dtype=np.uint8
+        ).reshape(-1, int(L))
+        ok = (raw[:, : len(hdr)] == hdr).all(axis=1)
+        # ring point count in the header must match the length-derived v
+        npts = raw[:, coff - 4 : coff].copy().view("<u4")[:, 0]
+        ok &= npts == v
+        if not ok.any():
+            continue
+        coords = (
+            np.ascontiguousarray(raw[ok, coff:]).view("<f8").reshape(-1, int(v), 2)
+        )
+        x, y = coords[:, :, 0], coords[:, :, 1]
+        area = 0.5 * np.abs(
+            np.sum(x[:, :-1] * y[:, 1:] - x[:, 1:] * y[:, :-1], axis=1)
+        )
+        out[idx[ok]] = area
+    return out
+
+
 def with_area(df: DataFrame, out: str = "area", geometry: str = "geometry") -> DataFrame:
-    """Shoelace area (/root/reference/SpaVectors.py:690-700)."""
-    return df.withColumn(out, _info_udf(kernels.geom_area, DoubleType())(F.col(geometry)))
+    """Shoelace area (/root/reference/SpaVectors.py:690-700).
+
+    Arrow-batched: simple single-ring geometries (the overwhelming
+    output shape of box overlays / bbox layers) compute as one
+    vectorized shoelace per batch; anything with holes or multiple
+    parts goes through the exact per-geometry kernel."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def u(geom: pd.Series) -> pd.Series:
+        vals = geom.to_numpy()
+        areas = _areas_batch(vals)
+        miss = np.nonzero(np.isnan(areas))[0]
+        for i in miss:
+            areas[i] = kernels.geom_area(wkb.loads(bytes(vals[i])))
+        return pd.Series(areas)
+
+    return df.withColumn(out, u(F.col(geometry)))
 
 
 def with_length(df: DataFrame, out: str = "length", geometry: str = "geometry") -> DataFrame:

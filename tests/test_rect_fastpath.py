@@ -110,3 +110,31 @@ def test_overlay_fast_path_area_matches_slow(spark):
     assert set(fast) == set(slow)
     for k in fast:
         assert fast[k] == pytest.approx(slow[k], abs=1e-12)
+
+
+def test_persisted_coverings_released(spark):
+    # ADVICE r2: coverings persisted by _candidates must not accumulate
+    # across queries in a long-lived session
+    from spapy_spark.operators import knn as knn_ops
+
+    overlay.release_persisted()
+    knn_ops.release_persisted()
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    rng = np.random.default_rng(2)
+    left = spark.createDataFrame(
+        [(int(i), wkb.dumps(wkb.box(*r))) for i, r in
+         enumerate(_rand_rects(50, rng))],
+        "lid bigint, geometry binary")
+    right = spark.createDataFrame(
+        [(int(j), wkb.dumps(wkb.box(*r))) for j, r in
+         enumerate(_rand_rects(8, rng))],
+        "rid bigint, geometry binary")
+    for _ in range(3):
+        overlay.overlay_join(left, right, "intersection", res=5,
+                             left_id="lid", right_id="rid").count()
+    # each call releases the previous call's coverings: at most one
+    # query's worth of cached datasets outstanding
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_after - base <= 2
+    overlay.release_persisted()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base

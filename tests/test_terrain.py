@@ -2,6 +2,7 @@
 whole-raster numpy oracle (the halo exchange is the hard part)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from spapy_spark.operators import raster, terrain
@@ -273,3 +274,41 @@ def test_color_relief(spark, smooth_tiles):
     # values are integer color levels in range
     g = _assemble([r for r in out if r["band"] == 1])
     assert g.min() >= 0 and g.max() <= 255
+
+
+def test_contour_to_shapefile_roundtrip(spark, tmp_path):
+    # reference parity: SpaTopo.Contour writes a contour SHAPEFILE
+    # (/root/reference/SpaPyTests/Tests/SpaTopoTest.py:51) — our
+    # contour MultiLineStrings roundtrip through the from-scratch
+    # PolyLine writer/reader with coordinates intact
+    from spapy_spark.sources import shapefile
+
+    tiles = synth.quad_raster_tiles(spark)
+    out = terrain.contour(
+        tiles, [20000.125], synth.GRID, synth.TILE, synth.GEOTRANSFORM
+    ).collect()
+    assert len(out) > 0
+    pdf = pd.DataFrame({
+        "tile_y": [r["tile_y"] for r in out],
+        "tile_x": [r["tile_x"] for r in out],
+        "nseg": [r["n_segments"] for r in out],
+        "geometry": [bytes(r["geometry"]) for r in out],
+    })
+    p = str(tmp_path / "contours.shp")
+    shapefile.write_pdf(pdf, p)
+    back = shapefile.read_pdf(p)
+    assert len(back) == len(pdf)
+    from spapy_spark.geometry import wkb as _wkb
+
+    for i in range(len(pdf)):
+        g0 = _wkb.loads(pdf["geometry"].iloc[i])
+        g1 = _wkb.loads(bytes(back["geometry"].iloc[i]))
+        c0 = np.vstack(
+            g0["coordinates"] if g0["type"] == "MultiLineString"
+            else [g0["coordinates"]]
+        )
+        c1 = np.vstack(
+            g1["coordinates"] if g1["type"] == "MultiLineString"
+            else [g1["coordinates"]]
+        )
+        np.testing.assert_array_equal(c0, c1)

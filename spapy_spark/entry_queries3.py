@@ -340,6 +340,101 @@ def _resample_bilinear_oracle_sql() -> str:
     )
 
 
+def q_reclassify_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range reclassify of the algebraic raster into 3 classes →
+    per-tile stats (reference ReclassifyRange, SpaRasters.py:1170-1217;
+    its own test's shape at SpaPyTests/Tests/SpaRasterTest.py:347).
+    Class values are small integers — exact in float32 and SQL."""
+    tiles = synth.alg_raster_tiles(spark)
+    out = raster.reclassify(tiles, [-200, 0, 300, 800], [1, 2, 3], "cls")
+    st = raster.tile_stats(out)
+    return st.select(
+        "tile_y", "tile_x", "n_valid",
+        F.col("sum").cast("long").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("tile_y", "tile_x")
+
+
+def _reclassify_oracle_sql() -> str:
+    return (
+        "WITH g AS (SELECT gx, gy FROM generate_series(0, 255) a(gx)"
+        " CROSS JOIN generate_series(0, 255) b(gy)),"
+        " v AS (SELECT gy // 64 AS tile_y, gx // 64 AS tile_x,"
+        " CASE WHEN ((gx * 37 + gy * 91) % 1000) - 200 < 0 THEN 1"
+        " WHEN ((gx * 37 + gy * 91) % 1000) - 200 < 300 THEN 2"
+        " ELSE 3 END AS val FROM g)"
+        " SELECT CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid,"
+        " CAST(sum(val) AS BIGINT) AS sum_val,"
+        " CAST(min(val) AS DOUBLE) AS min_val,"
+        " CAST(max(val) AS DOUBLE) AS max_val"
+        " FROM v GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"
+    )
+
+
+def q_resample_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResampleToMatch of the fine algebraic raster (256² @0.01) with
+    its coarse twin (64² @0.04, full overlap) → per-tile stats of BOTH
+    matched outputs (reference SpaRasters.py:2088-2165).  The coarse
+    side zooms ×4 bilinear (weights {1,3,5,7}/8 → /64-exact on integer
+    pixels) — the whole composition (aligned crops + halo zoom +
+    split + mask-union joins) is dyadic-exact, zero rounding."""
+    a = synth.alg_raster_tiles(spark)
+    b = synth.alg_coarse_tiles(spark)
+    a2, b2, _gt = raster.resample_to_match(
+        a, synth.GEOTRANSFORM, (256, 256),
+        b, synth.GEOTRANSFORM_C, (64, 64), tile=synth.TILE,
+    )
+    st = raster.tile_stats(a2).unionByName(raster.tile_stats(b2))
+    return st.select(
+        F.col("raster_id").alias("side"), "tile_y", "tile_x", "n_valid",
+        F.col("sum").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("side", "tile_y", "tile_x")
+
+
+def _resample_match_oracle_sql() -> str:
+    # fine side passes through ('alg'); coarse side ('up') is the ×4
+    # edge-clamped bilinear zoom of algc: out (X,Y) ∈ 256², src
+    # x0 = floor((X-2)/4), fx = (2*(X mod 4)+1±4)/8 — equivalently
+    # sx = (X+0.5)/4-0.5, clamped to [0,63]
+    return (
+        "WITH g AS (SELECT gx, gy FROM generate_series(0, 255) a(gx)"
+        " CROSS JOIN generate_series(0, 255) b(gy)),"
+        " fine AS (SELECT 'alg' AS side, gy // 64 AS tile_y,"
+        " gx // 64 AS tile_x,"
+        " CAST(((gx * 37 + gy * 91) % 1000) - 200 AS DOUBLE) AS val"
+        " FROM g),"
+        " c AS (SELECT gx, gy,"
+        " CAST(floor((gx - 2) / 4.0) AS BIGINT) AS x0,"
+        " CAST(floor((gy - 2) / 4.0) AS BIGINT) AS y0,"
+        " (2 * (gx % 4) + 1 + CASE WHEN gx % 4 < 2 THEN 4 ELSE -4 END)"
+        " / 8.0 AS fx,"
+        " (2 * (gy % 4) + 1 + CASE WHEN gy % 4 < 2 THEN 4 ELSE -4 END)"
+        " / 8.0 AS fy FROM g),"
+        " s AS (SELECT gx, gy, fx, fy,"
+        " LEAST(GREATEST(x0, 0), 63) AS xa,"
+        " LEAST(GREATEST(x0 + 1, 0), 63) AS xb,"
+        " LEAST(GREATEST(y0, 0), 63) AS ya,"
+        " LEAST(GREATEST(y0 + 1, 0), 63) AS yb FROM c),"
+        " coarse AS (SELECT 'up' AS side, gy // 64 AS tile_y,"
+        " gx // 64 AS tile_x,"
+        " (((xa * 7 + ya * 3) % 400) - 100) * (1 - fy) * (1 - fx)"
+        " + (((xa * 7 + yb * 3) % 400) - 100) * fy * (1 - fx)"
+        " + (((xb * 7 + ya * 3) % 400) - 100) * (1 - fy) * fx"
+        " + (((xb * 7 + yb * 3) % 400) - 100) * fy * fx AS val"
+        " FROM s),"
+        " u AS (SELECT * FROM fine UNION ALL SELECT * FROM coarse)"
+        " SELECT side, CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid, sum(val) AS sum_val,"
+        " min(val) AS min_val, max(val) AS max_val"
+        " FROM u GROUP BY side, tile_y, tile_x"
+        " ORDER BY side, tile_y, tile_x"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Polygonize (cross-tile dissolve) + contour
 # ---------------------------------------------------------------------------
@@ -671,6 +766,8 @@ def build_queries() -> dict:
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "crs_albers": q_crs_albers,
         "overlay_difference": q_overlay_difference,
+        "reclassify_stats": q_reclassify_stats,
+        "resample_match_stats": q_resample_match_stats,
     }
 
 
@@ -689,4 +786,6 @@ def build_oracle_sql() -> dict:
         "shapefile_roundtrip": _shapefile_oracle_sql(),
         "crs_albers": _crs_albers_oracle_sql(),
         "overlay_difference": _overlay_difference_oracle_sql(),
+        "reclassify_stats": _reclassify_oracle_sql(),
+        "resample_match_stats": _resample_match_oracle_sql(),
     }

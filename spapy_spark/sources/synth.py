@@ -448,6 +448,25 @@ def quad_raster_tiles(spark):
     return spark.createDataFrame(rows, schema=RASTER_SCHEMA)
 
 
+def algc_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Integer-exact coarse raster (64² at 4× the alg resolution) for
+    the resample_to_match oracle row."""
+    return (((gx * 7 + gy * 3) % 400) - 100.0).astype("<f4")
+
+
+# coarse twin of GEOTRANSFORM: same extent, 4× the pixel size
+GEOTRANSFORM_C = (-10.0, 0.04, 0.0, 10.0, 0.0, -0.04)
+
+
+def alg_coarse_tiles(spark):
+    gy, gx = np.mgrid[0:TILE, 0:TILE]
+    v = algc_value(gx.astype(np.int64), gy.astype(np.int64))
+    return spark.createDataFrame(
+        [("algc", 1, 0, 0, TILE, TILE, NODATA, v.tobytes())],
+        schema=RASTER_SCHEMA,
+    )
+
+
 def block_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     """Dyadic block pattern for the polygonize-oracle row: 9×9 axis
     segments with boundaries at 16 + 32k (so every interior 64-px tile

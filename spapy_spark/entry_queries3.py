@@ -671,6 +671,58 @@ def _overlay_difference_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming — windowed aggregation vs the batch oracle
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming plan (file stream → watermark →
+    tumbling-window counts → availableNow drain to a parquet sink),
+    checked against a plain batch SQL oracle: with a 0-second
+    watermark, append mode emits exactly the windows whose end is ≤
+    the final watermark (= max event ts) — SQL-expressible, so the
+    streaming execution faces the same bit-level gate as every batch
+    operator (emission semantics, window boundaries, exactly-once
+    sink bookkeeping all under test)."""
+    import shutil
+
+    from .streaming import events as sev
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spapy_stream_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    ev = sev.read_events_stream(spark, src)
+    agg = sev.windowed_counts(ev, window="1 hour", watermark="0 seconds")
+    sev.run_available_now(
+        agg, os.path.join(base, "ck"), os.path.join(base, "out")
+    )
+    res = spark.read.parquet(os.path.join(base, "out"))
+    return res.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("window_start", "event_type")
+
+
+_STREAMING_HOURLY_SQL = (
+    "WITH m AS (SELECT max(ts) AS mx FROM events)"
+    " SELECT date_trunc('hour', ts) AS window_start, event_type,"
+    " CAST(count(*) AS BIGINT) AS n"
+    " FROM events, m"
+    " GROUP BY date_trunc('hour', ts), event_type, mx"
+    " HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx"
+    " ORDER BY window_start, event_type"
+)
+
+
+# ---------------------------------------------------------------------------
 # CRS — Albers proj4-string front-end (reference's own test projection)
 # ---------------------------------------------------------------------------
 
@@ -768,6 +820,7 @@ def build_queries() -> dict:
         "overlay_difference": q_overlay_difference,
         "reclassify_stats": q_reclassify_stats,
         "resample_match_stats": q_resample_match_stats,
+        "streaming_hourly": q_streaming_hourly,
     }
 
 
@@ -788,4 +841,5 @@ def build_oracle_sql() -> dict:
         "overlay_difference": _overlay_difference_oracle_sql(),
         "reclassify_stats": _reclassify_oracle_sql(),
         "resample_match_stats": _resample_match_oracle_sql(),
+        "streaming_hourly": _STREAMING_HOURLY_SQL,
     }

@@ -98,6 +98,31 @@ def main():
         "uncertain remainder, done-flags fused into the same window "
         "shuffle.",
     )
+    from spapy_spark.operators import overlay  # noqa: E402
+    from spapy_spark.geometry import wkb as _wkb  # noqa: E402
+    import numpy as np  # noqa: E402
+
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-100, 100, 4000)
+    y0 = rng.uniform(-60, 60, 4000)
+    lrows = [
+        (int(i), _wkb.dumps(_wkb.box(x, y, x + 2, y + 2)))
+        for i, (x, y) in enumerate(zip(x0, y0))
+    ]
+    left = spark.createDataFrame(lrows, "lid bigint, geometry binary")
+    right = spark.createDataFrame(lrows[:50], "rid bigint, geometry binary")
+    cand = overlay._candidates(left, right, 6, "lid", "rid")
+    cap(
+        "Overlay candidate generation (one shuffle for dedup + spread)",
+        cand,
+        "Both layers explode to covering cells (whole-batch rectangle "
+        "fast path — no per-feature Python); the pair dedup's "
+        "`repartition(4·cores, pair-key)` satisfies the aggregate's "
+        "required distribution, so Catalyst inserts NO second "
+        "exchange and the width is pinned for the Python refine (AQE "
+        "would otherwise coalesce the small shuffle to one partition "
+        "and serialize it).",
+    )
     hdr = (
         "# Physical plans — the 100 TB checklist, evidenced\n\n"
         "Captured from live `explain` output (regenerate: "

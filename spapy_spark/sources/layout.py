@@ -65,3 +65,34 @@ def cells_for_bbox(lon_min, lat_min, lon_max, lat_max) -> list[int]:
     return c.cover_bbox(
         lon_min, lat_min, lon_max, lat_max, PARTITION_RES
     ).tolist()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    key: str,
+    path: str | None = None,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table (Spark-native Hive bucketing — the Iceberg
+    ``bucket(N, key)`` transform's equivalent): data is pre-shuffled
+    into ``n_buckets`` files by ``key`` AT WRITE TIME, so every later
+    equi-join or aggregation on the key runs with NO exchange — the
+    co-located-join storage story for the repeatedly-joined 100 TB
+    fact tables (points × zones assignments, doc ↔ dedup-cluster maps).
+
+    ``sort=True`` additionally sorts within buckets, removing the
+    join's Sort as well (plan becomes scan → SortMergeJoin directly).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -146,3 +146,34 @@ def test_partitioned_layout_prunes(spark, tmp_path):
         F.col("lat").between(45.0, 50.0) & F.col("lon").between(-125.0, -120.0)
     ).count()
     assert got == want  # covering cells are a superset: no false negatives
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    # bucketed storage → co-located equi-join: NO Exchange in the
+    # physical plan (both sides pre-shuffled at write time); aggregation
+    # on the bucket key likewise reuses the bucketing
+    from spapy_spark.sources import layout
+
+    a = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS va")
+    b = spark.range(0, 10000).selectExpr("id AS k", "id * 7 AS vb")
+    layout.write_bucketed(a, "bk_a", 8, "k", path=str(tmp_path / "a"))
+    layout.write_bucketed(b, "bk_b", 8, "k", path=str(tmp_path / "b"))
+    try:
+        ta = layout.read_table(spark, "bk_a")
+        tb = layout.read_table(spark, "bk_b")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ta.join(tb, "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert j.count() == 10000
+            g = ta.groupBy("k").count()
+            gplan = g._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in gplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")

@@ -424,6 +424,186 @@ def encode_mp_boxes(b: np.ndarray) -> list[bytes]:
     return [r.tobytes() for r in out]
 
 
+def decode_convex_rings(
+    bufs, max_pts: int = 16
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-decode single-ring Polygon WKBs whose ring is convex with
+    ≤ ``max_pts`` vertices.
+
+    Returns ``(ok, pts, cnt)``: ``pts`` is (n, max_pts, 2) float64 with
+    the OPEN ring (closing vertex dropped, original orientation) padded
+    with zeros; ``cnt[i]`` the vertex count.  One frombuffer per
+    distinct byte length — no per-row wkb.loads."""
+    n = len(bufs)
+    ok = np.zeros(n, dtype=bool)
+    pts = np.zeros((n, max_pts, 2), dtype=np.float64)
+    cnt = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return ok, pts, cnt
+    vals = bufs.to_numpy() if hasattr(bufs, "to_numpy") else np.asarray(
+        bufs, dtype=object
+    )
+    lens = np.fromiter((len(b) for b in vals), dtype=np.int64, count=n)
+    for L in np.unique(lens):
+        if (L - 13) % 16 != 0:
+            continue
+        v = (L - 13) // 16  # closed-ring point count
+        if v < 4 or v - 1 > max_pts:
+            continue
+        idx = np.nonzero(lens == L)[0]
+        raw = np.frombuffer(
+            b"".join(bytes(vals[i]) for i in idx), dtype=np.uint8
+        ).reshape(-1, int(L))
+        hdr = np.frombuffer(
+            bytes([1, 3, 0, 0, 0, 1, 0, 0, 0]) + int(v).to_bytes(4, "little"),
+            dtype=np.uint8,
+        )
+        good = (raw[:, :13] == hdr).all(axis=1)
+        coords = (
+            np.ascontiguousarray(raw[:, 13:]).view("<f8").reshape(-1, int(v), 2)
+        )
+        closed = (coords[:, 0] == coords[:, -1]).all(axis=1)
+        r = coords[:, :-1]  # open
+        nxt = np.roll(r, -1, axis=1)
+        nx2 = np.roll(r, -2, axis=1)
+        cross = (nxt[:, :, 0] - r[:, :, 0]) * (nx2[:, :, 1] - nxt[:, :, 1]) - (
+            nxt[:, :, 1] - r[:, :, 1]
+        ) * (nx2[:, :, 0] - nxt[:, :, 0])
+        convex = (cross >= 0).all(axis=1) | (cross <= 0).all(axis=1)
+        # non-degenerate: some strictly nonzero turn
+        nz = (cross != 0).any(axis=1)
+        good &= closed & convex & nz
+        sel = idx[good]
+        ok[sel] = True
+        pts[sel, : int(v) - 1] = r[good]
+        cnt[sel] = int(v) - 1
+    return ok, pts, cnt
+
+
+def _shoelace_open(r: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Signed area ×2 of padded OPEN rings (n, M, 2) with counts."""
+    n, M, _ = r.shape
+    J = np.arange(M)[None, :]
+    nxt_idx = np.where(J + 1 < cnt[:, None], J + 1, 0)
+    nx = np.take_along_axis(r[:, :, 0], nxt_idx, axis=1)
+    ny = np.take_along_axis(r[:, :, 1], nxt_idx, axis=1)
+    term = r[:, :, 0] * ny - nx * r[:, :, 1]
+    term = np.where(J < cnt[:, None], term, 0.0)
+    return term.sum(axis=1)
+
+
+def clip_convex_batch(
+    subj: np.ndarray, scnt: np.ndarray, clip: np.ndarray, ccnt: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch Sutherland–Hodgman of convex subject rings against
+    convex clip rings — the SAME floating-point operations per pair as
+    ``kernels.clip_ring_convex`` (side cross products, t = s/(s−s'),
+    p + t·(q−p)), so outputs are bit-identical to the per-pair kernel.
+
+    Inputs are padded OPEN rings; clip rings are auto-oriented CCW per
+    pair (matching the scalar kernel).  Convex∩convex growth bound:
+    each halfplane pass adds at most one vertex, so the output fits in
+    S + C + 2.  Returns (valid, out, ocnt) with CLOSED output implied
+    by ocnt (the caller appends the closing vertex when encoding);
+    ``valid`` is False where the intersection is empty (< 3 vertices).
+    """
+    n, S, _ = subj.shape
+    C = clip.shape[1]
+    # orient clips CCW (scalar kernel reverses CW clips)
+    area2 = _shoelace_open(clip, ccnt)
+    rev = area2 < 0
+    if rev.any():
+        J = np.arange(C)[None, :]
+        ridx = np.where(J < ccnt[:, None], ccnt[:, None] - 1 - J, J)
+        flipped_x = np.take_along_axis(clip[:, :, 0], ridx, axis=1)
+        flipped_y = np.take_along_axis(clip[:, :, 1], ridx, axis=1)
+        clip = clip.copy()
+        clip[rev, :, 0] = flipped_x[rev]
+        clip[rev, :, 1] = flipped_y[rev]
+    P = S + C + 2
+    cur = np.zeros((n, P, 2), dtype=np.float64)
+    cur[:, :S] = subj
+    m = scnt.astype(np.int64).copy()
+    Cmax = int(ccnt.max()) if n else 0
+    J = np.arange(P)[None, :]
+    for i in range(Cmax):
+        live = (i < ccnt) & (m > 0)
+        if not live.any():
+            break
+        nxt_c = np.where(i + 1 < ccnt, i + 1, 0)
+        a = clip[np.arange(n), np.minimum(i, np.maximum(ccnt - 1, 0))]
+        b = clip[np.arange(n), nxt_c]
+        ex = (b[:, 0] - a[:, 0])[:, None]
+        ey = (b[:, 1] - a[:, 1])[:, None]
+        side = ex * (cur[:, :, 1] - a[:, 1][:, None]) - ey * (
+            cur[:, :, 0] - a[:, 0][:, None]
+        )
+        nxt_idx = np.where(J + 1 < m[:, None], J + 1, 0)
+        side_n = np.take_along_axis(side, nxt_idx, axis=1)
+        nxt_x = np.take_along_axis(cur[:, :, 0], nxt_idx, axis=1)
+        nxt_y = np.take_along_axis(cur[:, :, 1], nxt_idx, axis=1)
+        validj = (J < m[:, None]) & live[:, None]
+        cur_in = side >= 0
+        nxt_in = side_n >= 0
+        keep_v = cur_in & validj
+        keep_i = (cur_in != nxt_in) & validj
+        d = side - side_n
+        t = np.where(d != 0, side / np.where(d == 0, 1.0, d), 0.0)
+        ix = cur[:, :, 0] + t * (nxt_x - cur[:, :, 0])
+        iy = cur[:, :, 1] + t * (nxt_y - cur[:, :, 1])
+        # interleave (vertex, intersection) per j, then compact
+        flags = np.empty((n, 2 * P), dtype=bool)
+        flags[:, 0::2] = keep_v
+        flags[:, 1::2] = keep_i
+        px2 = np.empty((n, 2 * P), dtype=np.float64)
+        py2 = np.empty((n, 2 * P), dtype=np.float64)
+        px2[:, 0::2] = cur[:, :, 0]
+        px2[:, 1::2] = ix
+        py2[:, 0::2] = cur[:, :, 1]
+        py2[:, 1::2] = iy
+        pos = np.cumsum(flags, axis=1) - 1
+        m_new = flags.sum(axis=1)
+        if (m_new > P).any():
+            # unreachable for convex subjects (≤ +1 vertex per pass);
+            # loud failure beats silent corruption if the gate breaks
+            raise ValueError("convex clip growth bound exceeded")
+        newcur = np.zeros_like(cur)
+        rows, cols = np.nonzero(flags)
+        newcur[rows, pos[rows, cols], 0] = px2[rows, cols]
+        newcur[rows, pos[rows, cols], 1] = py2[rows, cols]
+        cur = np.where(live[:, None, None], newcur, cur)
+        m = np.where(live, m_new, m)
+    valid = m >= 3
+    return valid, cur, m
+
+
+def encode_mp_rings(pts: np.ndarray, cnt: np.ndarray) -> list[bytes]:
+    """Batch-encode padded OPEN rings as 1-part MultiPolygon WKB
+    (closing vertex appended) — grouped by vertex count, one header
+    stamp + coord view per group."""
+    n = len(cnt)
+    out: list = [None] * n
+    for c in np.unique(cnt):
+        ci = int(c)
+        idx = np.nonzero(cnt == c)[0]
+        v = ci + 1  # closed
+        L = 9 + 13 + 16 * v
+        hdr = np.frombuffer(
+            bytes([1, 6, 0, 0, 0, 1, 0, 0, 0, 1, 3, 0, 0, 0, 1, 0, 0, 0])
+            + v.to_bytes(4, "little"),
+            dtype=np.uint8,
+        )
+        buf = np.empty((len(idx), L), dtype=np.uint8)
+        buf[:, : len(hdr)] = hdr
+        ring = np.empty((len(idx), v, 2), dtype="<f8")
+        ring[:, :ci] = pts[idx, :ci]
+        ring[:, ci] = pts[idx, 0]
+        buf[:, len(hdr):] = ring.reshape(len(idx), -1).view(np.uint8)
+        for k, i in enumerate(idx):
+            out[i] = buf[k].tobytes()
+    return out
+
+
 def rect_predicates(lr: np.ndarray, rr: np.ndarray) -> dict[str, np.ndarray]:
     """All relate predicates for rect×rect pairs as whole-batch arrays
     (interval logic — the closed form the per-pair kernels reduce to
@@ -641,8 +821,10 @@ def overlay_join(
     def refine(batches):
         for pdf in batches:
             fast = np.zeros(len(pdf), dtype=bool)
-            fast_ids1 = fast_ids2 = fast_geoms = None
+            fast_parts = []  # (ids1, ids2, geoms) from batch paths
             if use_rect_fast and len(pdf):
+                li_all = pdf[left_id].to_numpy()
+                ri_all = pdf[right_id].to_numpy()
                 lok, lr = decode_aa_rects(pdf["__lg"])
                 rok, rr = decode_aa_rects(pdf["__rg"])
                 both = lok & rok
@@ -651,14 +833,32 @@ def overlay_join(
                 ib[:, 1] = np.maximum(lr[:, 1], rr[:, 1])
                 ib[:, 2] = np.minimum(lr[:, 2], rr[:, 2])
                 ib[:, 3] = np.minimum(lr[:, 3], rr[:, 3])
-                # only strictly-overlapping pairs take the fast exit;
+                # only strictly-overlapping pairs take the rect exit;
                 # touching/disjoint rects keep the per-pair kernel's
                 # exact empty/degenerate handling
                 fast = both & (ib[:, 0] < ib[:, 2]) & (ib[:, 1] < ib[:, 3])
                 if fast.any():
-                    fast_ids1 = pdf[left_id].to_numpy()[fast]
-                    fast_ids2 = pdf[right_id].to_numpy()[fast]
-                    fast_geoms = encode_mp_boxes(ib[fast])
+                    fast_parts.append((
+                        li_all[fast], ri_all[fast], encode_mp_boxes(ib[fast])
+                    ))
+                # non-rect CONVEX pairs: whole-batch Sutherland–Hodgman
+                # — bit-identical outputs to the per-pair kernel
+                rest = ~fast & ~both
+                if rest.any():
+                    cok_l, cp_l, cc_l = decode_convex_rings(pdf["__lg"])
+                    cok_r, cp_r, cc_r = decode_convex_rings(pdf["__rg"])
+                    conv = rest & cok_l & cok_r
+                    if conv.any():
+                        vld, oc, ocnt = clip_convex_batch(
+                            cp_l[conv], cc_l[conv], cp_r[conv], cc_r[conv]
+                        )
+                        keep = np.nonzero(conv)[0][vld]
+                        fast[conv] = True  # decided (incl. empty ones)
+                        if vld.any():
+                            fast_parts.append((
+                                li_all[keep], ri_all[keep],
+                                encode_mp_rings(oc[vld], ocnt[vld]),
+                            ))
             ids1, ids2, geoms = [], [], []
             slow = np.nonzero(~fast)[0] if fast.any() else range(len(pdf))
             lgs = pdf["__lg"].to_numpy()
@@ -675,10 +875,10 @@ def overlay_join(
                 ids1.append(li[i])
                 ids2.append(ri[i])
                 geoms.append(wkb.dumps(g))
-            if fast_geoms is not None:
-                ids1 = list(fast_ids1) + ids1
-                ids2 = list(fast_ids2) + ids2
-                geoms = fast_geoms + geoms
+            for fi1, fi2, fg in fast_parts:
+                ids1.extend(fi1)
+                ids2.extend(fi2)
+                geoms.extend(fg)
             yield pd.DataFrame({left_id: ids1, right_id: ids2,
                                 "geometry": geoms})
 

@@ -722,6 +722,65 @@ _STREAMING_HOURLY_SQL = (
 )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator under the oracle gate:
+    per-user incremental session tracking via applyInPandasWithState
+    (GroupState fold over micro-batches, chunk-order-insensitive),
+    drained with availableNow into the memory sink.  Running totals
+    are non-decreasing, so max() per user is exact across any batch
+    split — the final counts must equal the batch sessionizer's, which
+    the SQL oracle recomputes with window functions."""
+    import shutil
+
+    from .streaming import events as sev, stateful
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spapy_sess_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    stream = sev.read_events_stream(spark, src)
+    out = stateful.track_sessions(stream, gap_seconds=1800)
+    name = f"spapy_sess_q_{os.getpid()}"
+    (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    res = spark.table(name)
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAMING_SESSIONS_SQL = (
+    "WITH e AS (SELECT user_id, ts, event_id,"
+    " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev"
+    " FROM events),"
+    " s AS (SELECT user_id,"
+    " CASE WHEN prev IS NULL OR"
+    " date_diff('microsecond', prev, ts) > 1800000000"
+    " THEN 1 ELSE 0 END AS new_s FROM e)"
+    " SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,"
+    " CAST(count(*) AS BIGINT) AS n_events"
+    " FROM s GROUP BY user_id ORDER BY user_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # CRS — Albers proj4-string front-end (reference's own test projection)
 # ---------------------------------------------------------------------------
@@ -821,6 +880,7 @@ def build_queries() -> dict:
         "reclassify_stats": q_reclassify_stats,
         "resample_match_stats": q_resample_match_stats,
         "streaming_hourly": q_streaming_hourly,
+        "streaming_sessions": q_streaming_sessions,
     }
 
 
@@ -842,4 +902,5 @@ def build_oracle_sql() -> dict:
         "reclassify_stats": _reclassify_oracle_sql(),
         "resample_match_stats": _resample_match_oracle_sql(),
         "streaming_hourly": _STREAMING_HOURLY_SQL,
+        "streaming_sessions": _STREAMING_SESSIONS_SQL,
     }

@@ -192,17 +192,119 @@ def buffer_geom(g: dict, amount: float, quad_segs: int = 16) -> dict | None:
     return acc
 
 
+def _rect_buffer_template(amount: float, quad_segs: int):
+    """(anchor_idx, offsets) for the canonical buffered-rectangle ring.
+
+    The Minkowski buffer of an axis-aligned rectangle is a rounded
+    rectangle whose boundary is CLOSED-FORM: offset sides at distance
+    r plus, at each corner, the quadrant slice of the phase-rotated
+    disc polygon cut along its 0°/90° chords (the chords' axis
+    crossings are the side↔arc transition points).  Every ring vertex
+    is (corner point) + (fixed offset depending only on r, quad_segs),
+    so a whole batch of rects builds in one broadcast add.  The four
+    quadrant slices sum to the full disc polygon, so the area equals
+    the slow path's union exactly (same closed form the buffer_area
+    oracle uses)."""
+    r = float(amount)
+    phase = np.pi / max(4, 4 * quad_segs)
+    rel = kernels.point_buffer_ring(0.0, 0.0, r, quad_segs, phase=phase)
+    rel = rel[:-1] if np.array_equal(rel[0], rel[-1]) else rel
+    q = len(rel) // 4
+    c, s = float(rel[0][0]), float(rel[0][1])  # r·cos(phase), r·sin(phase)
+    # corner anchor order: 0=TR(x1,y1) 1=TL(x0,y1) 2=BL(x0,y0) 3=BR(x1,y0)
+    anch: list[int] = []
+    offs: list[tuple[float, float]] = []
+
+    def add(a, ox, oy):
+        anch.append(a)
+        offs.append((float(ox), float(oy)))
+
+    add(3, r, 0)          # (x1+r, y0) — right side bottom
+    add(0, r, 0)          # (x1+r, y1)
+    add(0, c, 0)          # chord crossing y=y1
+    for k in range(q):    # Q1 arc
+        add(0, rel[k][0], rel[k][1])
+    add(0, 0, c)          # chord crossing x=x1
+    add(0, 0, r)          # top side right
+    add(1, 0, r)          # top side left
+    add(1, 0, c)
+    for k in range(q, 2 * q):  # Q2 arc
+        add(1, rel[k][0], rel[k][1])
+    add(1, -c, 0)
+    add(1, -r, 0)         # left side top
+    add(2, -r, 0)         # left side bottom
+    add(2, -c, 0)
+    for k in range(2 * q, 3 * q):  # Q3 arc
+        add(2, rel[k][0], rel[k][1])
+    add(2, 0, -c)
+    add(2, 0, -r)         # bottom side left
+    add(3, 0, -r)         # bottom side right
+    add(3, 0, -c)
+    for k in range(3 * q, 4 * q):  # Q4 arc
+        add(3, rel[k][0], rel[k][1])
+    add(3, c, 0)
+    return np.asarray(anch, np.int64), np.asarray(offs, np.float64)
+
+
+def buffer_rects_batch(
+    rects: np.ndarray, amount: float, quad_segs: int = 16
+) -> list[bytes]:
+    """Whole-batch rectangle buffer → 1-part MultiPolygon WKB rings."""
+    from .overlay import encode_mp_rings
+
+    anch, offs = _rect_buffer_template(amount, quad_segs)
+    n = len(rects)
+    corners = np.empty((n, 4, 2), dtype=np.float64)
+    corners[:, 0, 0] = rects[:, 2]; corners[:, 0, 1] = rects[:, 3]  # TR
+    corners[:, 1, 0] = rects[:, 0]; corners[:, 1, 1] = rects[:, 3]  # TL
+    corners[:, 2, 0] = rects[:, 0]; corners[:, 2, 1] = rects[:, 1]  # BL
+    corners[:, 3, 0] = rects[:, 2]; corners[:, 3, 1] = rects[:, 1]  # BR
+    rings = corners[:, anch, :] + offs[None, :, :]
+    cnt = np.full(n, rings.shape[1], dtype=np.int64)
+    return encode_mp_rings(rings, cnt)
+
+
 def buffer(df: DataFrame, amount: float, geometry: str = "geometry",
            quad_segs: int = 16) -> DataFrame:
     """Buffer points/polygons by ``amount``; output promoted to
     MultiPolygon (/root/reference/SpaVectors.py:790-818,801).
-    See :func:`buffer_geom` for semantics."""
+    See :func:`buffer_geom` for semantics.
+
+    Axis-aligned rectangles take a whole-batch closed-form path (the
+    rounded-rectangle boundary — no per-feature union fold); all other
+    shapes run the exact per-feature Minkowski kernel."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+    from .overlay import decode_aa_rects
 
     def op(g):
         out = buffer_geom(g, amount, quad_segs)
         return None if out is None else wkb.promote_multi(out)
 
-    return _geom_map(df, op, geometry)
+    if amount <= 0:
+        return _geom_map(df, op, geometry)
+
+    @pandas_udf(BinaryType())
+    def u(geom: pd.Series) -> pd.Series:
+        vals = geom.to_numpy()
+        out: list = [None] * len(vals)
+        ok, rects = decode_aa_rects(vals)
+        if ok.any():
+            fast = buffer_rects_batch(rects[ok], amount, quad_segs)
+            for j, i in enumerate(np.nonzero(ok)[0]):
+                out[i] = fast[j]
+        for i in np.nonzero(~ok)[0]:
+            try:
+                g = op(wkb.loads(bytes(vals[i])))
+            except Exception:
+                g = None  # invalid features dropped (SpaVectors.py:808)
+            out[i] = wkb.dumps(g) if g is not None else None
+        return pd.Series(out)
+
+    # empty/error features drop, matching _geom_map / the reference
+    return df.withColumn(geometry, u(F.col(geometry))).where(
+        F.col(geometry).isNotNull()
+    )
 
 
 def _ring_self_crosses(r: np.ndarray) -> bool:

@@ -224,3 +224,33 @@ def test_overlay_convex_fast_path_matches_slow(spark):
             if g is not None:
                 want[(i, j)] = wkb.dumps(g)
     assert got == want
+
+
+def test_rect_buffer_fast_path_exact():
+    # canonical rounded-rect boundary: area equals the closed form
+    # (rect + P·r + full disc polygon) to ~1e-12 — tighter than the
+    # slow union fold's ~1e-7 — and membership matches the distance
+    # oracle away from the discretization band
+    from spapy_spark.operators.vector import buffer_rects_batch
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        x0, y0 = rng.uniform(-50, 50, 2)
+        w, h = rng.uniform(0.1, 20, 2)
+        r = rng.uniform(0.05, 15)
+        q = int(rng.integers(1, 9)) * 2
+        fast = wkb.loads(
+            buffer_rects_batch(np.array([[x0, y0, x0 + w, y0 + h]]), r, q)[0]
+        )
+        n = max(4, 4 * q)
+        a_c = w * h + 2 * (w + h) * r + 0.5 * n * r * r * np.sin(
+            2 * np.pi / n)
+        assert abs(kernels.geom_area(fast) - a_c) < 1e-9 * max(1.0, a_c)
+        pts = rng.uniform([x0 - 2 * r, y0 - 2 * r],
+                          [x0 + w + 2 * r, y0 + h + 2 * r], (200, 2))
+        dx = np.maximum(np.maximum(x0 - pts[:, 0], pts[:, 0] - (x0 + w)), 0)
+        dy = np.maximum(np.maximum(y0 - pts[:, 1], pts[:, 1] - (y0 + h)), 0)
+        dist = np.hypot(dx, dy)
+        inside = kernels.points_in_polygon_geom(pts[:, 0], pts[:, 1], fast)
+        clear = (dist < r * np.cos(np.pi / n) * 0.999) | (dist > r * 1.001)
+        assert (inside[clear] == (dist < r)[clear]).all()

@@ -671,6 +671,139 @@ def _overlay_difference_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# §2.3 geometry transforms — clip / densify / simplify
+# ---------------------------------------------------------------------------
+
+_CLIP_EPS = 1.0 / 2048  # box edges are multiples of 2^-10: never coincide
+
+
+def q_clip_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip the derived boxes to a global bbox (reference Clip,
+    /root/reference/SpaVectors.py:1501-1527): Sutherland–Hodgman
+    against the box, empties dropped.  All cuts are axis-parallel at
+    dyadic coordinates → clipped areas are EXACT, zero rounding."""
+    from .entry_queries2 import _boxes_df
+
+    b = _boxes_df(spark, sf_dir)
+    e = _CLIP_EPS
+    out = vector.clip_bbox(b, -10.0 + e, -10.0 + e, 6.0 + e, 6.0 + e)
+    out = vector.with_area(out)
+    return out.select("point_id", "area").orderBy("point_id")
+
+
+def _clip_bbox_oracle_sql() -> str:
+    from .entry_queries2 import _BOX_SQL
+
+    e = repr(float(_CLIP_EPS))
+    return (
+        f"WITH b AS ({_BOX_SQL}),"
+        " p AS (SELECT point_id,"
+        f" LEAST(cx + w, 6.0 + {e}) - GREATEST(cx - w, -10.0 + {e}) AS iw,"
+        f" LEAST(cy + h, 6.0 + {e}) - GREATEST(cy - h, -10.0 + {e}) AS ih"
+        " FROM b)"
+        " SELECT point_id, iw * ih AS area FROM p"
+        " WHERE iw > 0 AND ih > 0 ORDER BY point_id"
+    )
+
+
+_DENS_D = 0.25
+
+
+def q_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-subdivision densify of the derived boxes (reference
+    SpaDensify.py:41-147): per edge ceil(len/d) splits.  Vertex count
+    comes straight off the WKB byte length (pure Catalyst); the area is
+    invariant (collinear inserts) — dither-rounded for the inserted
+    points' t=j/k interpolation noise."""
+    from .entry_queries2 import _boxes_df, _dither_round
+
+    b = _boxes_df(spark, sf_dir)
+    out = vector.densify(b, _DENS_D)
+    out = vector.with_area(out)
+    return out.select(
+        "point_id",
+        ((F.length("geometry") - 13) / 16).cast("long").alias("n_points"),
+        _dither_round(F.col("area"), 6).alias("area"),
+    ).orderBy("point_id")
+
+
+def _densify_oracle_sql() -> str:
+    from .entry_queries2 import _BOX_SQL
+
+    d = repr(float(_DENS_D))
+    return (
+        f"WITH b AS ({_BOX_SQL})"
+        " SELECT point_id,"
+        f" CAST(1 + 2 * CEIL(2 * w / {d}) + 2 * CEIL(2 * h / {d})"
+        " AS BIGINT) AS n_points,"
+        " ROUND((2 * w) * (2 * h) + 0.000000001, 6) AS area"
+        " FROM b ORDER BY point_id"
+    )
+
+
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker simplify (reference SpaVectors.py:820-846) on
+    boxes carrying redundant collinear edge midpoints: the midpoints
+    (deviation 0 < tolerance) drop, the corners survive — vertex count
+    and exact area are both closed-form."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from .entry_queries import load
+    from .geometry import wkb as _wkb
+
+    o = load(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    k = F.col("o_orderkey")
+    src = o.select(
+        k.alias("point_id"),
+        (((k * 9973) % 32768) / 1024.0 - 16.0).alias("cx"),
+        (((k * 7919) % 32768) / 1024.0 - 16.0).alias("cy"),
+        ((((k * 31) % 512) + 64) / 1024.0).alias("w"),
+        ((((k * 57) % 512) + 64) / 1024.0).alias("h"),
+    )
+    schema = StructType(
+        [src.schema["point_id"], StructField("geometry", BinaryType(), False)]
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            geoms = []
+            for cx, cy, w, h in zip(pdf["cx"], pdf["cy"], pdf["w"],
+                                    pdf["h"]):
+                x0, y0, x1, y1 = cx - w, cy - h, cx + w, cy + h
+                ring = np.array([
+                    [x0, y0], [cx, y0], [x1, y0], [x1, y1], [cx, y1],
+                    [x0, y1], [x0, y0],
+                ])
+                geoms.append(_wkb.dumps(
+                    {"type": "Polygon", "coordinates": [ring]}
+                ))
+            yield pd.DataFrame({"point_id": pdf["point_id"],
+                                "geometry": geoms})
+
+    hexed = src.mapInPandas(mk, schema=schema)
+    out = vector.simplify(hexed, tolerance=1e-6)
+    out = vector.with_area(out)
+    return out.select(
+        "point_id",
+        ((F.length("geometry") - 13) / 16).cast("long").alias("n_points"),
+        "area",
+    ).orderBy("point_id")
+
+
+def _simplify_oracle_sql() -> str:
+    from .entry_queries2 import _BOX_SQL
+
+    return (
+        f"WITH b AS ({_BOX_SQL})"
+        " SELECT point_id, CAST(5 AS BIGINT) AS n_points,"
+        " (2 * w) * (2 * h) AS area"
+        " FROM b ORDER BY point_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming — windowed aggregation vs the batch oracle
 # ---------------------------------------------------------------------------
 
@@ -881,6 +1014,9 @@ def build_queries() -> dict:
         "resample_match_stats": q_resample_match_stats,
         "streaming_hourly": q_streaming_hourly,
         "streaming_sessions": q_streaming_sessions,
+        "clip_bbox": q_clip_bbox,
+        "densify_counts": q_densify,
+        "simplify_counts": q_simplify,
     }
 
 
@@ -903,4 +1039,7 @@ def build_oracle_sql() -> dict:
         "resample_match_stats": _resample_match_oracle_sql(),
         "streaming_hourly": _STREAMING_HOURLY_SQL,
         "streaming_sessions": _STREAMING_SESSIONS_SQL,
+        "clip_bbox": _clip_bbox_oracle_sql(),
+        "densify_counts": _densify_oracle_sql(),
+        "simplify_counts": _simplify_oracle_sql(),
     }

@@ -706,6 +706,136 @@ def _clip_bbox_oracle_sql() -> str:
     )
 
 
+def q_split_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitFeatures (reference SpaVectors.py:591-629): 2-part
+    MultiPolygon features explode to single parts with attributes
+    duplicated — per-part exact areas against a closed-form oracle."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from .geometry import wkb as _wkb
+
+    o = load(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    k = F.col("o_orderkey")
+    src = o.select(
+        k.alias("point_id"),
+        (((k * 9973) % 32768) / 1024.0 - 16.0).alias("cx"),
+        (((k * 7919) % 32768) / 1024.0 - 16.0).alias("cy"),
+        ((((k * 31) % 512) + 64) / 1024.0).alias("w"),
+        ((((k * 57) % 512) + 64) / 1024.0).alias("h"),
+    )
+    schema = StructType(
+        [src.schema["point_id"], StructField("geometry", BinaryType(), False)]
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            geoms = []
+            for cx, cy, w, h in zip(pdf["cx"], pdf["cy"], pdf["w"],
+                                    pdf["h"]):
+                # two disjoint boxes: the derived box + a shifted twin
+                # with swapped extents
+                b1 = _wkb.box(cx - w, cy - h, cx + w, cy + h)
+                b2 = _wkb.box(cx + w + 1.0, cy - w, cx + w + 1.0 + 2 * h,
+                              cy + w)
+                geoms.append(_wkb.dumps({
+                    "type": "MultiPolygon",
+                    "coordinates": [b1["coordinates"], b2["coordinates"]],
+                }))
+            yield pd.DataFrame({"point_id": pdf["point_id"],
+                                "geometry": geoms})
+
+    mp = src.mapInPandas(mk, schema=schema)
+    out = vector.split_features(mp)
+    out = vector.with_area(out)
+    return out.select("point_id", "area").orderBy("point_id", "area")
+
+
+def _split_parts_oracle_sql() -> str:
+    from .entry_queries2 import _BOX_SQL
+
+    return (
+        f"WITH b AS ({_BOX_SQL})"
+        " SELECT point_id, (2 * w) * (2 * h) AS area FROM b"
+        " UNION ALL"
+        " SELECT point_id, (2 * h) * (2 * w) AS area FROM b"
+        " ORDER BY point_id, area"
+    )
+
+
+def q_hull_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvexHull (reference SpaVectors.py:848-869) on boxes carrying
+    collinear edge midpoints: the monotone chain drops collinear
+    points, leaving the 4 corners — count + exact area closed-form."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from .geometry import wkb as _wkb
+
+    o = load(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    k = F.col("o_orderkey")
+    src = o.select(
+        k.alias("point_id"),
+        (((k * 9973) % 32768) / 1024.0 - 16.0).alias("cx"),
+        (((k * 7919) % 32768) / 1024.0 - 16.0).alias("cy"),
+        ((((k * 31) % 512) + 64) / 1024.0).alias("w"),
+        ((((k * 57) % 512) + 64) / 1024.0).alias("h"),
+    )
+    schema = StructType(
+        [src.schema["point_id"], StructField("geometry", BinaryType(), False)]
+    )
+
+    def mk(batches):
+        for pdf in batches:
+            geoms = []
+            for cx, cy, w, h in zip(pdf["cx"], pdf["cy"], pdf["w"],
+                                    pdf["h"]):
+                x0, y0, x1, y1 = cx - w, cy - h, cx + w, cy + h
+                ring = np.array([
+                    [x0, y0], [cx, y0], [x1, y0], [x1, y1], [cx, y1],
+                    [x0, y1], [x0, y0],
+                ])
+                geoms.append(_wkb.dumps(
+                    {"type": "Polygon", "coordinates": [ring]}
+                ))
+            yield pd.DataFrame({"point_id": pdf["point_id"],
+                                "geometry": geoms})
+
+    hexed = src.mapInPandas(mk, schema=schema)
+    out = vector.convex_hull(hexed)
+    out = vector.with_area(out)
+    return out.select(
+        "point_id",
+        ((F.length("geometry") - 13) / 16).cast("long").alias("n_points"),
+        "area",
+    ).orderBy("point_id")
+
+
+def q_layer_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer bounds (reference SpaVectors.py:754-782): bbox struct per
+    feature → one min/max aggregation row (partial+final combine)."""
+    from .entry_queries2 import _boxes_df
+
+    b = _boxes_df(spark, sf_dir)
+    wb = vector.with_bounds(b)
+    return wb.agg(
+        F.min("bbox.minx").alias("minx"), F.min("bbox.miny").alias("miny"),
+        F.max("bbox.maxx").alias("maxx"), F.max("bbox.maxy").alias("maxy"),
+    )
+
+
+def _layer_bounds_oracle_sql() -> str:
+    from .entry_queries2 import _BOX_SQL
+
+    return (
+        f"WITH b AS ({_BOX_SQL})"
+        " SELECT min(cx - w) AS minx, min(cy - h) AS miny,"
+        " max(cx + w) AS maxx, max(cy + h) AS maxy FROM b"
+    )
+
+
 _DENS_D = 0.25
 
 
@@ -1017,6 +1147,9 @@ def build_queries() -> dict:
         "clip_bbox": q_clip_bbox,
         "densify_counts": q_densify,
         "simplify_counts": q_simplify,
+        "split_parts": q_split_parts,
+        "hull_counts": q_hull_counts,
+        "layer_bounds": q_layer_bounds,
     }
 
 
@@ -1042,4 +1175,7 @@ def build_oracle_sql() -> dict:
         "clip_bbox": _clip_bbox_oracle_sql(),
         "densify_counts": _densify_oracle_sql(),
         "simplify_counts": _simplify_oracle_sql(),
+        "split_parts": _split_parts_oracle_sql(),
+        "hull_counts": _simplify_oracle_sql(),
+        "layer_bounds": _layer_bounds_oracle_sql(),
     }

@@ -134,6 +134,9 @@ def main():
                 "polygonize_counts",
                 "contour_counts",
                 "crs_albers",
+                "clip_bbox",
+                "densify_counts",
+                "streaming_hourly",
             )
         )
         queries = eq.build_queries()

@@ -1022,6 +1022,7 @@ def polygonize_tiles(
 def polygonize_dissolved(
     tiles: DataFrame, geotransform: tuple, tile: int,
     max_iters: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Cross-tile polygonize: per-tile connected components dissolved
     across tile borders (the v2 refinement of :func:`polygonize_tiles`;
@@ -1031,9 +1032,13 @@ def polygonize_dissolved(
     Plan: per-tile components with globally-unique labels + their
     border-pixel runs → equivalence edges from adjacent border pixels
     with equal values (one self-join on the shared border key) →
-    iterative min-label propagation over the equivalence graph
-    (driver-looped joins, AQE-sized; converges in O(diameter) rounds)
-    → per-component aggregate (value, n_pixels, bbox geometry union).
+    equivalence resolution → per-component aggregate (value, n_pixels,
+    bbox geometry union).  Resolution is hybrid: edge sets up to
+    ``driver_max_edges`` (edges are per border RUN, not per pixel —
+    bounded even for huge rasters) collect to a driver union-find and
+    broadcast ONE label→root map (2 jobs); larger graphs fall back to
+    iterative min-label propagation (O(component diameter) rounds of
+    joins, nothing collected).
     """
     from pyspark.sql.types import (
         BinaryType, DoubleType, LongType, StructField, StructType,
@@ -1157,6 +1162,66 @@ def polygonize_dissolved(
     pairs = l_.join(r_, ["raster_id", "band", "bkey", "pos", "value"]).where(
         F.col("la") != F.col("lb")
     ).select("raster_id", "band", "la", "lb").distinct().cache()
+    # equivalence resolution, two physical strategies:
+    # (a) bounded edge sets (the overwhelming case — edges are per
+    #     BORDER-pixel-run, not per pixel) collect to the driver for a
+    #     union-find + one broadcast-joined mapping: 2 jobs total;
+    # (b) otherwise the iterative min-label propagation below —
+    #     O(component diameter) rounds of joins, never collects.
+    n_edges = pairs.count()
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for e in pairs.collect():
+            a = (e["raster_id"], e["band"], e["la"])
+            b = (e["raster_id"], e["band"], e["lb"])
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min root wins (same answer as the iterative pass)
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo
+        rows = []
+        for k in list(parent):
+            rt = find(k)
+            if rt != k:
+                rows.append((k[0], k[1], k[2], rt[2]))
+        if rows:
+            mapping = F.broadcast(spark.createDataFrame(
+                [(r, b_, l_, rt) for r, b_, l_, rt in rows],
+                schema=StructType([
+                    StructField("raster_id",
+                                tiles.schema["raster_id"].dataType, False),
+                    StructField("band", tiles.schema["band"].dataType,
+                                False),
+                    StructField("label", LongType(), False),
+                    StructField("root", LongType(), False),
+                ]),
+            ))
+            merged_map = comps.join(
+                mapping, ["raster_id", "band", "label"], "left"
+            ).select(
+                "raster_id", "band", "label",
+                F.coalesce(F.col("root"), F.col("label")).alias("root"),
+                "value", "n_pixels", "minx", "miny", "maxx", "maxy",
+            )
+        else:
+            merged_map = comps.withColumn("root", F.col("label"))
+        merged = merged_map.groupBy(
+            "raster_id", "band", "root", "value"
+        ).agg(
+            F.sum("n_pixels").alias("n_pixels"),
+            F.min("minx").alias("minx"), F.min("miny").alias("miny"),
+            F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
+        )
+        return _dissolved_to_geom(merged, tiles, x0, pw, y0, ph)
     # min-label propagation to fixpoint
     mapping = comps.select(
         "raster_id", "band", F.col("label"), F.col("label").alias("root")
@@ -1220,6 +1285,18 @@ def polygonize_dissolved(
             F.max("maxx").alias("maxx"), F.max("maxy").alias("maxy"),
         )
     )
+    return _dissolved_to_geom(merged, tiles, x0, pw, y0, ph)
+
+
+def _dissolved_to_geom(merged, tiles, x0, pw, y0, ph):
+    """Final bbox-geometry projection shared by both dissolve
+    strategies (driver union-find and iterative min-label)."""
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from ..geometry import wkb as _wkb
+
     out_schema = StructType([
         StructField("raster_id", tiles.schema["raster_id"].dataType, False),
         StructField("band", tiles.schema["band"].dataType, False),

@@ -134,9 +134,20 @@ def test_polygonize_dissolved_cross_tile(spark):
             rows.append(("r", 1, ty, tx, T, T, -9999.0,
                          np.ascontiguousarray(a).tobytes()))
     tiles = spark.createDataFrame(rows, schema=synth.RASTER_SCHEMA)
-    out = raster.polygonize_dissolved(
+    # both physical strategies must dissolve identically: the driver
+    # union-find (default) and the iterative min-label fallback
+    out_drv = raster.polygonize_dissolved(
         tiles, synth.GEOTRANSFORM, synth.TILE
     ).collect()
+    out_it = raster.polygonize_dissolved(
+        tiles, synth.GEOTRANSFORM, synth.TILE, driver_max_edges=0
+    ).collect()
+    for out in (out_drv, out_it):
+        _check_dissolved(out)
+
+
+def _check_dissolved(out):
+    T = synth.TILE
     by_val = {}
     for r in out:
         by_val.setdefault(r["value"], []).append(r)

@@ -127,6 +127,7 @@ def main():
                 # round-3 operator families (terrain/raster-shape are
                 # fixed-256² fixtures — cheap at any sf; the overlay
                 # difference is the cell-pruned O(N·M) output)
+                "overlay_boxes_general",
                 "overlay_difference",
                 "terrain_slope",
                 "terrain_focal_stats",

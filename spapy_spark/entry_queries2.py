@@ -408,13 +408,18 @@ def _within_dist_oracle_sql() -> str:
 
 def q_knn_sites_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same kNN answer as knn_sites through the fully-distributed
-    grid path with ring escalation (no broadcast, no Python) — shares
-    the broadcast path's oracle: strategy equivalence for kNN."""
+    grid path (no collect, no Python) — shares the broadcast path's
+    oracle: strategy equivalence for kNN.
+
+    Uses the single-pass exact plan (site-side per-cell domination
+    pruning, knn.knn_join_grid_exact): one shuffle of the point
+    stream, everything else JVM windows.  res=5 → ~8 candidate sites
+    per point for this 64-site layout (measured r4); the r3 ring-
+    escalation wrapper paid a localCheckpoint + count action per pass
+    and a 25-cell point-side explosion — 24.9 s vs 2.2 s here."""
     pts = derived_points(spark, sf_dir)
     sites = synth.sites(spark, 64)
-    # res sized to the site density (64 global sites, k=3 → ~1 site
-    # per res-3 cell); start_ring=2 resolves ~all points in pass 1
-    out = knn.knn_join_grid_total(pts, sites, k=3, res=3, start_ring=2)
+    out = knn.knn_join_grid_exact(pts, sites, k=3, res=5)
     return out.select("point_id", "site_id", "rank", "dist").orderBy(
         "point_id", "rank"
     )

@@ -49,21 +49,46 @@ class _V:
         self.visited = False
 
 
+def _signed_area(pts) -> float:
+    """Shoelace signed area of a CLOSED ring (first == last vertex).
+
+    For rings of ≤8 terms the scalar sequential sum is BIT-IDENTICAL
+    to kernels.ring_signed_area (numpy's pairwise summation degrades
+    to a plain loop below 8 elements), without the ~13 µs small-array
+    numpy overhead per call that dominated the GH profile.  Larger
+    rings defer to the numpy kernel so the summation order (and thus
+    the degenerate-sliver thresholds) never changes.
+    """
+    n1 = len(pts) - 1
+    if n1 > 7:
+        return kernels.ring_signed_area(np.asarray(pts, dtype=np.float64))
+    if isinstance(pts, np.ndarray):
+        pts = pts.tolist()
+    s = 0.0
+    for i in range(n1):
+        p = pts[i]
+        q = pts[i + 1]
+        s += p[0] * q[1] - q[0] * p[1]
+    return 0.5 * s
+
+
 def _closed(ring: np.ndarray) -> np.ndarray:
     r = np.asarray(ring, dtype=np.float64)
-    if not np.array_equal(r[0], r[-1]):
+    if not (r[0, 0] == r[-1, 0] and r[0, 1] == r[-1, 1]):
         r = np.vstack([r, r[:1]])
     return r
 
 
 def _build(ring: np.ndarray) -> _V:
-    pts = np.asarray(ring, dtype=np.float64)
-    if np.array_equal(pts[0], pts[-1]):
+    # tolist(): the vertex machinery runs on PYTHON floats — identical
+    # IEEE values, ~3× faster scalar arithmetic than np.float64 scalars
+    pts = np.asarray(ring, dtype=np.float64).tolist()
+    if pts[0] == pts[-1]:
         pts = pts[:-1]
     first = None
     prev = None
     for x, y in pts:
-        v = _V(float(x), float(y))
+        v = _V(x, y)
         if first is None:
             first = v
         else:
@@ -119,8 +144,25 @@ class _Degenerate(Exception):
 
 
 def _point_in(x: float, y: float, head: _V) -> bool:
-    ring = np.array([[v.x, v.y] for v in _verts(head)] + [[head.x, head.y]])
-    return bool(kernels.points_in_ring(np.array([x]), np.array([y]), ring)[0])
+    """Scalar even-odd crossing test — the per-edge arithmetic is the
+    EXACT expression of kernels.points_in_ring (same operations, same
+    order per edge; the XOR accumulation is order-free), so the result
+    is bit-identical without the small-array numpy overhead that
+    dominated the GH profile."""
+    inside = False
+    v = head
+    while True:
+        x1, y1 = v.x, v.y
+        nxt = v.nxt
+        x2, y2 = nxt.x, nxt.y
+        if y1 != y2 and ((y1 > y) != (y2 > y)):
+            xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xint:
+                inside = not inside
+        v = nxt
+        if v is head:
+            break
+    return inside
 
 
 def _edges(head: _V):
@@ -229,9 +271,9 @@ def _clip_once(subject: np.ndarray, clip: np.ndarray, op: str):
                 break
             if len(contour) > 100000:
                 raise _Degenerate()  # tracing ran away → perturb+retry
-        ring = np.array(contour + [contour[0]], dtype=np.float64)
-        if len(ring) >= 4 and abs(kernels.ring_signed_area(ring)) > 1e-14:
-            results.append(ring)
+        closedc = contour + [contour[0]]
+        if len(closedc) >= 4 and abs(_signed_area(closedc)) > 1e-14:
+            results.append(np.array(closedc, dtype=np.float64))
     # hole classification by CONTAINMENT (trace orientation is not
     # deterministic): probe each ring's first-edge midpoint against
     # every other ring; odd containment count → hole.  Midpoints sit
@@ -262,15 +304,9 @@ def clip_rings(subject, clip, op: str):
     clip = np.asarray(clip, dtype=np.float64)
     # normalize both rings CCW so hole classification by signed area
     # is well-defined
-    if kernels.ring_signed_area(
-        np.vstack([subject, subject[:1]])
-        if not np.array_equal(subject[0], subject[-1]) else subject
-    ) < 0:
+    if _signed_area(_closed(subject)) < 0:
         subject = subject[::-1]
-    if kernels.ring_signed_area(
-        np.vstack([clip, clip[:1]])
-        if not np.array_equal(clip[0], clip[-1]) else clip
-    ) < 0:
+    if _signed_area(_closed(clip)) < 0:
         clip = clip[::-1]
     base = clip
     for attempt in range(7):
@@ -395,7 +431,7 @@ def boolean_op(g1: dict, g2: dict, op: str) -> dict | None:
 def _assemble(parts) -> dict | None:
     out = []
     for ext, holes in parts:
-        if abs(kernels.ring_signed_area(_closed(ext))) <= 1e-12:
+        if abs(_signed_area(_closed(ext))) <= 1e-12:
             continue
         out.append([_closed(ext)] + [_closed(h) for h in holes])
     if not out:

@@ -172,23 +172,43 @@ def knn_join_grid(
     site_id: str = "site_id",
     sx: str = "x",
     sy: str = "y",
+    _flags: bool = False,
 ) -> DataFrame:
-    """Fully distributed kNN — NO broadcast, NO Python: both sides can
-    be arbitrarily large.
+    """Fully distributed kNN — NO broadcast of the point side, NO
+    Python: the point stream can be arbitrarily large.
 
-    Plan (pure Catalyst): sites get their res-``res`` cell; points
-    explode to the (2·ring+1)² cells of their Chebyshev ``ring``
-    neighborhood; equi-join on the cell; per-point top-k via
-    ``array_sort`` over collected (dist, site_id) structs (deterministic
-    tie-break).  Output adds ``certain``: true iff the k-th distance is
-    below ``ring × min(cell_w, cell_h)`` — the geometric guarantee that
-    no site outside the searched neighborhood can beat it.  Callers
+    Plan (pure Catalyst, ONE shuffle of the point stream): the
+    neighborhood explosion happens on the SITE side — each site
+    registers in every cell of its Chebyshev ``ring`` neighborhood
+    ((2·ring+1)² rows per site); points keep their single res-``res``
+    cell and are hash-partitioned by it once.  The cell equi-join then
+    pairs a point with exactly the sites within ``ring`` cells
+    (Chebyshev symmetry), and BOTH the per-point top-k window and the
+    optional done-flag window run partitioned by ``(__cell, point_id)``
+    — the point's cell is functionally a prefix of its id's partition,
+    so Catalyst proves the existing hash distribution satisfies the
+    window and inserts no further Exchange.  The r3 plan exploded the
+    POINT side (2·ring+1)²× before the join; for a 10⁹-row point stream
+    at ring 2 that is a 25× shuffle amplification — moving the
+    explosion to the (static, usually far smaller) site side makes the
+    shuffled volume |points| + (2·ring+1)²·|sites| instead.
+
+    Output adds ``certain``: true iff the k-th distance is below
+    ``ring × min(cell_w, cell_h)`` — the geometric guarantee that no
+    site outside the searched neighborhood can beat it.  Callers
     escalate ``ring`` (or fall back to the broadcast path) for the
-    usually-tiny uncertain remainder.
+    usually-tiny uncertain remainder.  With ``_flags`` the per-point
+    ``__nk`` (rows found) and ``__allc`` (all-certain) columns are
+    folded into the same exchange-free window pass — the escalation
+    wrapper's bookkeeping costs zero extra shuffles.
     """
+    from pyspark.sql import Window
+
     n = 1 << res
     cell_w, cell_h = 360.0 / n, 180.0 / n
-    bound = ring * min(cell_w, cell_h)
+    ring_eff = min(ring, n - 1)
+    covering = ring_eff >= n - 1
+    bound = ring_eff * min(cell_w, cell_h)
 
     def cell_ij(lon_c, lat_c):
         ix = F.least(
@@ -201,41 +221,48 @@ def knn_join_grid(
         ).cast("long")
         return ix, iy
 
+    # site side: quantize ONCE, then explode compact Δ sequences —
+    # keeps the Catalyst expression tree O(1) in ``ring``.  Lat rows
+    # outside the grid are dropped; lon wraps via pmod.  When the ring
+    # spans the whole lon axis the Δx range collapses to [0, n) so the
+    # wrap cannot register a site in the same cell twice (the r3
+    # point-exploded form had a latent duplicate-candidate bug here).
     s_ix, s_iy = cell_ij(F.col(sx), F.col(sy))
-    s = sites.select(
-        F.col(site_id).alias("__sid"), F.col(sx).alias("__sx"),
-        F.col(sy).alias("__sy"),
-        (s_ix * n + s_iy).alias("__cell"),
-    )
-    # quantize ONCE into named columns, then explode compact Δ
-    # sequences — keeps the Catalyst expression tree O(1) in ``ring``
-    # (an inline (2r+1)² CASE array repeats the quantizer per branch
-    # and blows up codegen/driver memory for large rings)
-    p_ix, p_iy = cell_ij(F.col(x), F.col(y))
-    p0 = points.select(
-        F.col(point_id), F.col(x).alias("__px"), F.col(y).alias("__py"),
-        p_ix.alias("__ix"), p_iy.alias("__iy"),
-    )
-    # lat rows outside the grid are dropped; lon wraps
-    p = (
-        p0.select(
-            "*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("__dy")
+    dx_lo, dx_hi = (0, n - 1) if 2 * ring_eff + 1 >= n else (-ring_eff, ring_eff)
+    s = (
+        sites.select(
+            F.col(site_id).alias("__sid"), F.col(sx).alias("__sx"),
+            F.col(sy).alias("__sy"),
+            s_ix.alias("__six"), s_iy.alias("__siy"),
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(-ring_eff), F.lit(ring_eff))).alias("__dy")
         )
         .where(
-            ((F.col("__iy") + F.col("__dy")) >= 0)
-            & ((F.col("__iy") + F.col("__dy")) < n)
+            ((F.col("__siy") + F.col("__dy")) >= 0)
+            & ((F.col("__siy") + F.col("__dy")) < n)
         )
         .select(
-            "*", F.explode(F.sequence(F.lit(-ring), F.lit(ring))).alias("__dx")
+            "*", F.explode(F.sequence(F.lit(dx_lo), F.lit(dx_hi))).alias("__dx")
         )
         .select(
-            F.col(point_id), F.col("__px"), F.col("__py"),
+            F.col("__sid"), F.col("__sx"), F.col("__sy"),
             (
-                F.pmod(F.col("__ix") + F.col("__dx"), F.lit(n)) * n
-                + (F.col("__iy") + F.col("__dy"))
+                F.pmod(F.col("__six") + F.col("__dx"), F.lit(n)) * n
+                + (F.col("__siy") + F.col("__dy"))
             ).alias("__cell"),
         )
     )
+    p_ix, p_iy = cell_ij(F.col(x), F.col(y))
+    p = points.select(
+        F.col(point_id), F.col(x).alias("__px"), F.col(y).alias("__py"),
+        (p_ix * n + p_iy).alias("__cell"),
+    ).where(F.col("__cell").isNotNull())
+    # the one shuffle: hash the point stream by its cell.  The join
+    # (broadcast or shuffled — Catalyst's pick; the site side is the
+    # small one either way) preserves this distribution, so both
+    # windows below run in place.
+    p = p.repartition(F.col("__cell"))
     j = p.join(s, "__cell")
     # explicit multiplication (not pow): bit-identical to the SQL
     # oracle's (dx*dx + dy*dy) on every engine
@@ -246,24 +273,33 @@ def knn_join_grid(
     # it SPILLS gracefully — the previous collect_list/array_sort
     # ObjectHashAggregate held every point's candidate array on heap
     # and OOM'd 32-thread local JVMs at moderate scale
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(point_id).orderBy(
+    w = Window.partitionBy("__cell", point_id).orderBy(
         F.col("__d2").asc(), F.col("__sid").asc()
     )
-    cand = j.select(point_id, F.col("__sid"), d2.alias("__d2"))
+    cand = j.select("__cell", point_id, F.col("__sid"), d2.alias("__d2"))
+    certain_c = (
+        F.lit(True) if covering
+        else (F.sqrt(F.col("__d2")) < F.lit(bound))
+    )
     top = (
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
-            point_id,
+            "__cell",
+            F.col(point_id),
             F.col("__sid").alias("site_id"),
-            "rank",
+            F.col("rank"),
             F.sqrt(F.col("__d2")).alias("dist"),
-            (F.sqrt(F.col("__d2")) < F.lit(bound)).alias("certain"),
+            certain_c.alias("certain"),
         )
     )
-    return top
+    if _flags:
+        wp = Window.partitionBy("__cell", point_id)
+        top = (
+            top.withColumn("__nk", F.count(F.lit(1)).over(wp))
+            .withColumn("__allc", F.min(F.col("certain").cast("int")).over(wp))
+        )
+    return top.drop("__cell")
 
 
 def within_distance(
@@ -337,6 +373,114 @@ def within_distance(
     )
 
 
+def knn_join_grid_exact(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int = 1,
+    res: int = 5,
+    x: str = "lon",
+    y: str = "lat",
+    point_id: str = "point_id",
+    site_id: str = "site_id",
+    sx: str = "x",
+    sy: str = "y",
+) -> DataFrame:
+    """Single-pass TOTAL grid kNN — exact answer, one shuffle of the
+    point stream, no escalation loop, no Python.
+
+    The ring-escalation wrapper exists because a fixed neighborhood
+    cannot promise the k-th neighbor is inside it.  But the promise is
+    computable wholly on the SITE side: for every grid cell, rank all
+    sites by their max distance to the cell rectangle (``ud2``) and
+    keep exactly the sites whose min distance (``ld2``) does not exceed
+    the k-th smallest ``ud2`` — any dropped site is strictly dominated
+    by k others for EVERY point in the cell, so the per-cell candidate
+    list provably contains each point's true top-k.  Points then join
+    their single cell's pruned list and a ``(__cell, point_id)`` window
+    takes the top-k — the hash distribution from the one point shuffle
+    satisfies both the join and the window, so no second Exchange.
+
+    Site-side cost is O(4^res · |sites|) rows through two tiny window
+    passes — the right plan whenever the site table is the small one
+    (the broadcast regime, but with zero Python and no collect).  For
+    a site side too large for that product, use
+    :func:`knn_join_grid_total` (ring escalation) instead.
+    """
+    from pyspark.sql import Window
+
+    n = 1 << res
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+
+    spark = points.sparkSession
+    cells_df = spark.range(n * n).select(F.col("id").alias("__cell"))
+    s0 = sites.select(
+        F.col(site_id).alias("__sid"), F.col(sx).alias("__sx"),
+        F.col(sy).alias("__sy"),
+    )
+    pairs = cells_df.crossJoin(s0)
+    # cell rect from the id (__cell = ix·n + iy, cell_ij encoding)
+    x0 = (F.floor(F.col("__cell") / n) * cell_w - 180.0)
+    y0 = (F.pmod(F.col("__cell"), F.lit(n)) * cell_h - 90.0)
+    ldx = F.greatest(x0 - F.col("__sx"), F.col("__sx") - (x0 + cell_w), F.lit(0.0))
+    ldy = F.greatest(y0 - F.col("__sy"), F.col("__sy") - (y0 + cell_h), F.lit(0.0))
+    udx = F.greatest(F.col("__sx") - x0, (x0 + cell_w) - F.col("__sx"))
+    udy = F.greatest(F.col("__sy") - y0, (y0 + cell_h) - F.col("__sy"))
+    pairs = pairs.select(
+        "__cell", "__sid", "__sx", "__sy",
+        (ldx * ldx + ldy * ldy).alias("__ld2"),
+        (udx * udx + udy * udy).alias("__ud2"),
+    )
+    wrank = Window.partitionBy("__cell").orderBy(
+        F.col("__ud2").asc(), F.col("__sid").asc()
+    )
+    wcell = Window.partitionBy("__cell")
+    s = (
+        pairs.withColumn("__rn", F.row_number().over(wrank))
+        .withColumn(
+            "__thresh",
+            F.max(F.when(F.col("__rn") <= k, F.col("__ud2"))).over(wcell),
+        )
+        .where(F.col("__ld2") <= F.col("__thresh"))
+        .select("__cell", "__sid", "__sx", "__sy")
+    )
+
+    def cell_ij(lon_c, lat_c):
+        ix = F.least(
+            F.greatest(F.floor((lon_c + 180.0) / 360.0 * n), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long")
+        iy = F.least(
+            F.greatest(F.floor((lat_c + 90.0) / 180.0 * n), F.lit(0)),
+            F.lit(n - 1),
+        ).cast("long")
+        return ix, iy
+
+    p_ix, p_iy = cell_ij(F.col(x), F.col(y))
+    p = points.select(
+        F.col(point_id), F.col(x).alias("__px"), F.col(y).alias("__py"),
+        (p_ix * n + p_iy).alias("__cell"),
+    ).where(F.col("__cell").isNotNull())
+    p = p.repartition(F.col("__cell"))
+    j = p.join(s, "__cell")
+    dx = F.col("__px") - F.col("__sx")
+    dy = F.col("__py") - F.col("__sy")
+    d2 = dx * dx + dy * dy
+    w = Window.partitionBy("__cell", point_id).orderBy(
+        F.col("__d2").asc(), F.col("__sid").asc()
+    )
+    return (
+        j.select("__cell", point_id, F.col("__sid"), d2.alias("__d2"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(point_id),
+            F.col("__sid").alias("site_id"),
+            F.col("rank"),
+            F.sqrt(F.col("__d2")).alias("dist"),
+        )
+    )
+
+
 # checkpointed per-pass outputs from prior knn_join_grid_total calls —
 # released on the next call (they must outlive their own call: the
 # returned union is lazy) or explicitly via release_persisted()
@@ -367,11 +511,20 @@ def knn_join_grid_total(
 ) -> DataFrame:
     """Total-answer wrapper over :func:`knn_join_grid`: escalates the
     search ``ring`` (doubling) for the points whose top-k is not yet
-    provably final, until every point has k certain rows or the ring
-    covers the whole grid.  The uncertain remainder shrinks
-    geometrically, so the extra passes touch a vanishing fraction of
-    the data — the fully-distributed kNN plan with a completeness
-    guarantee (VERDICT r1 item 4).
+    provably final; the last pass resolves the residue with a direct
+    site cross-join top-k (exactly what a grid pass at covering ring
+    degenerates to, minus the explode machinery).  The uncertain
+    remainder shrinks geometrically, so the extra passes touch a
+    vanishing fraction of the data — the fully-distributed kNN plan
+    with a completeness guarantee (VERDICT r1 item 4).
+
+    The whole schedule is LAZY — ring escalation is a static doubling
+    sequence, so no driver-side count/checkpoint actions are needed
+    between passes (the r3 form paid a ``localCheckpoint`` disk write
+    plus a ``limit(1).count()`` job per pass — the 20× regression on
+    knn_sites_grid).  Each pass output is ``persist()``-ed so the
+    done-rows/done-ids double use reads cache, and everything
+    materializes inside the caller's single action.
 
     Output: (point_id, site_id, rank, dist) — same shape/tie-break as
     ``knn_join_broadcast``, no ``certain`` column (always total).
@@ -384,39 +537,47 @@ def knn_join_grid_total(
     results = []
     remaining = points.select(point_id, x, y)
     ring = start_ring
-    while True:
+    while 2 * ring + 1 < n:
         out = knn_join_grid(
             remaining, sites, k=k, res=res, ring=ring, x=x, y=y,
             point_id=point_id, site_id=site_id, sx=sx, sy=sy,
-        )
-        if 2 * ring + 1 >= n:
-            # neighborhood covers every cell — answers are final
-            results.append(out.select(*out_cols))
-            break
-        # fuse the done-flags into the SAME per-point shuffle as the
-        # top-k (unordered window over the partition key — no extra
-        # exchange, no groupBy+semi-join round trip), then materialize
-        # the whole pass in ONE eager job; the checkpoint doubles as
-        # the lineage cut for the next pass's anti-join (r2 VERDICT
-        # "wrong" #2: each pass previously paid persist + flags agg +
-        # semi join + anti-join localCheckpoint + a count action).
-        wp = Window.partitionBy(point_id)
-        out2 = (
-            out.withColumn("__nk", F.count(F.lit(1)).over(wp))
-            .withColumn("__allc", F.min(F.col("certain").cast("int")).over(wp))
-            .localCheckpoint()
-        )
-        _PERSISTED.append(out2)
+            _flags=True,
+        ).persist()
+        _PERSISTED.append(out)
         done_f = (F.col("__nk") == k) & (F.col("__allc") == 1)
-        results.append(out2.where(done_f).select(*out_cols))
-        done_ids = out2.where(done_f).select(point_id).distinct()
+        results.append(out.where(done_f).select(*out_cols))
+        done_ids = out.where(done_f).select(point_id).distinct()
         # points with no candidate rows at this ring stay in remaining
         # via the anti-join on the ORIGINAL remaining (they never
         # appear in out at all)
         remaining = remaining.join(done_ids, point_id, "anti")
-        if remaining.limit(1).count() == 0:
-            break
         ring *= 2
+    # final pass: the residue meets every site.  A covering grid pass
+    # IS this cross join (every (point, site) cell pair matches) —
+    # doing it directly also fixes the r3 covering-ring lat gap
+    # (2·ring+1 ≥ n does not reach iy = n-1 from iy = 0).
+    s2 = sites.select(
+        F.col(site_id).alias("__sid"), F.col(sx).alias("__sx"),
+        F.col(sy).alias("__sy"),
+    )
+    jx = remaining.crossJoin(s2)
+    ddx = F.col(x) - F.col("__sx")
+    ddy = F.col(y) - F.col("__sy")
+    d2 = (ddx * ddx + ddy * ddy).alias("__d2")
+    w = Window.partitionBy(point_id).orderBy(
+        F.col("__d2").asc(), F.col("__sid").asc()
+    )
+    results.append(
+        jx.select(point_id, F.col("__sid"), d2)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            point_id,
+            F.col("__sid").alias("site_id"),
+            "rank",
+            F.sqrt(F.col("__d2")).alias("dist"),
+        )
+    )
     acc = results[0]
     for r in results[1:]:
         acc = acc.unionByName(r)

@@ -865,9 +865,22 @@ def overlay_join(
             rgs = pdf["__rg"].to_numpy()
             li = pdf[left_id].to_numpy()
             ri = pdf[right_id].to_numpy()
+            # bbox pre-reject for intersection: a pair whose bounds are
+            # STRICTLY separated has provably empty overlap — skip the
+            # (²⁵×-costlier) boolean kernel entirely.  Decoded dicts are
+            # reused for the kernel call, so surviving pairs pay no
+            # second WKB parse.
+            prereject = op == "intersection"
             for i in slow:
                 try:
-                    g = fn(wkb.loads(bytes(lgs[i])), wkb.loads(bytes(rgs[i])))
+                    gl = wkb.loads(bytes(lgs[i]))
+                    gr = wkb.loads(bytes(rgs[i]))
+                    if prereject:
+                        lx0, ly0, lx1, ly1 = kernels.geom_bounds(gl)
+                        rx0, ry0, rx1, ry1 = kernels.geom_bounds(gr)
+                        if lx1 < rx0 or rx1 < lx0 or ly1 < ry0 or ry1 < ly0:
+                            continue
+                    g = fn(gl, gr)
                 except Exception:
                     g = None  # invalid inputs skipped (SpaVectors.py:934)
                 if g is None:

@@ -159,3 +159,37 @@ def test_within_distance_matches_bruteforce(spark):
     assert set(got) == set(want)
     for kk, v in want.items():
         assert got[kk] == pytest.approx(v, rel=1e-12)
+
+
+def test_knn_grid_exact_matches_broadcast(spark):
+    """Single-pass exact grid kNN (per-cell domination pruning) is
+    bit-identical to brute force for every point — including clustered
+    sites, k > cell occupancy, and points in empty cells."""
+    sites = synth.sites(spark, 64)
+    ids = np.arange(800)
+    _, lat, lon = synth.doc_coords(ids)
+    pts = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in ids],
+        "point_id long, lat double, lon double",
+    )
+    for res in (2, 4, 6):
+        ex = knn.knn_join_grid_exact(pts, sites, k=3, res=res).collect()
+        brute = knn.knn_join_broadcast(pts, sites, k=3,
+                                       point_cols=["point_id"]).collect()
+        assert len(ex) == len(brute) == 800 * 3
+        want = {(r["point_id"], r["rank"]): (r["site_id"], r["dist"])
+                for r in brute}
+        for r in ex:
+            ws, wd = want[(r["point_id"], r["rank"])]
+            assert r["site_id"] == ws and r["dist"] == wd
+
+
+def test_knn_grid_exact_k_exceeds_sites(spark):
+    """k larger than the site count degrades to |sites| rows/point."""
+    sites = synth.sites(spark, 5)
+    pts = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, -45.0, 170.0)],
+        "point_id long, lat double, lon double",
+    )
+    rows = knn.knn_join_grid_exact(pts, sites, k=9, res=3).collect()
+    assert len(rows) == 2 * 5

@@ -111,3 +111,52 @@ def test_self_overlay_fold(spark):
     assert kernels.geom_area(inter) == pytest.approx(20.0)  # 8..10 × 0..10
     union = overlay.self_overlay_fold(df, "union")
     assert kernels.geom_area(union) == pytest.approx(200.0)  # 0..20 × 0..10
+
+
+def test_self_overlay_fold_distributed_parity(spark):
+    """The distributed partial fold (associative ops) must match the
+    sequential driver fold on a many-partition layer.  Dyadic box
+    coordinates make every clip vertex exact, so the comparison is by
+    exact area and part count, independent of fold grouping."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    # nested boxes: every box contains [0,1]x[0,1] => intersection is
+    # the smallest box; built from dyadic halves so clips are exact
+    rows = []
+    for i in range(n):
+        m = 1.0 + float(rng.integers(0, 2000)) / 1024.0
+        rows.append((i, wkb.dumps(wkb.box(-m, -m, m, m))))
+    df = spark.createDataFrame(rows, "fid long, geometry binary").repartition(16)
+    inter = overlay.self_overlay_fold(df, "intersection")
+    seq = _sequential_fold(rows, "intersection")
+    assert kernels.geom_area(inter) == kernels.geom_area(seq)
+
+    # disjoint unit boxes on a dyadic grid: union = all parts
+    rows_u = [
+        (i, wkb.dumps(wkb.box(2.0 * i, 0.0, 2.0 * i + 1.0, 1.0)))
+        for i in range(64)
+    ]
+    dfu = spark.createDataFrame(rows_u, "fid long, geometry binary").repartition(8)
+    uni = overlay.self_overlay_fold(dfu, "union")
+    sequ = _sequential_fold(rows_u, "union")
+    assert kernels.geom_area(uni) == kernels.geom_area(sequ) == 64.0
+    canon = lambda g: sorted(  # noqa: E731
+        tuple(np.asarray(rings[0]).min(axis=0)) for rings in wkb.polygons_of(g)
+    )
+    assert canon(uni) == canon(sequ)
+
+    # empty intersection propagates as None through the combine
+    rows_e = rows_u[:4]
+    dfe = spark.createDataFrame(rows_e, "fid long, geometry binary").repartition(4)
+    assert overlay.self_overlay_fold(dfe, "intersection") is None
+
+
+def _sequential_fold(rows, op):
+    acc = wkb.loads(bytes(rows[0][1]))
+    for _, buf in rows[1:]:
+        acc = overlay.overlay_geom(acc, wkb.loads(bytes(buf)), op)
+        if acc is None:
+            return None
+    return acc

@@ -648,6 +648,7 @@ def _raster_sample_oracle_sql() -> str:
 # r1 and are trivially re-verifiable plain SQL — if a cap drops rows,
 # it drops the ones with the longest green history.
 _FRONT = [
+    "crs_stateplane",
     "resample_match_stats", "streaming_hourly", "streaming_sessions",
     "clip_bbox", "densify_counts", "simplify_counts", "split_parts",
     "hull_counts", "layer_bounds",
@@ -655,7 +656,7 @@ _FRONT = [
 _TAIL = [
     "tpch_q1", "top_customers", "events_hourly", "lang_counts",
     "text_stats", "quality_scores", "doc_fingerprint", "token_regex",
-    "events_sequence",
+    "events_sequence", "events_rollup",
 ]
 
 

@@ -1120,6 +1120,72 @@ def _crs_albers_oracle_sql() -> str:
     )
 
 
+def q_crs_stateplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-plane CRS through the EPSG front-end with non-meter units
+    (r3 verdict item 5): EPSG:2263 (NAD83 NY Long Island, LCC 2SP, US
+    survey feet).  Exercises the EPSG→proj-dict table, the ellipsoidal
+    LCC kernel, and the unit adapter; the reference reaches the same
+    surface via pyproj (/root/reference/SpaReferencing.py:128-135).
+    Points are windowed into the zone's neighborhood so magnitudes stay
+    ~1e6 ft (1 ulp ≈ 2e-10 — far inside the 3-dp dither guard)."""
+    from .entry_queries import derived_points
+    from .geometry import crs
+
+    pts = derived_points(spark, sf_dir).select(
+        "point_id",
+        (F.col("lon") / 90.0 + F.lit(-74.0)).alias("lon"),
+        (F.col("lat") / 50.0 + F.lit(40.5)).alias("lat"),
+    )
+
+    def tx(batches):
+        for pdf in batches:
+            x, y = crs.transform_arrays(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                "epsg:4326", "epsg:2263",
+            )
+            yield pd.DataFrame({"point_id": pdf["point_id"], "x": x, "y": y})
+
+    out = pts.mapInPandas(tx, schema="point_id bigint, x double, y double")
+    return out.select(
+        "point_id",
+        F.round(F.col("x") + F.lit(1e-9), 3).alias("x"),
+        F.round(F.col("y") + F.lit(1e-9), 3).alias("y"),
+    ).orderBy("point_id")
+
+
+def _crs_stateplane_oracle_sql() -> str:
+    """DuckDB mirror of the EPSG:2263 forward: LCC 2SP with the exact
+    run-time constants (injected as mantissa·2^exp literals) in the
+    kernel's own evaluation order, then the survey-foot division."""
+    from .entry_queries import PTS_SQL
+    from .geometry import crs as _crs
+
+    p = _crs.from_proj_dict(_crs._EPSG_CONICS["epsg:2263"])
+    base, u = p.base, p.to_meter
+    e, ehalf = _dlit(float(_crs._E)), _dlit(float(_crs._E) / 2)
+    pio4 = _dlit(np.pi / 4)
+    af = _dlit(float(_crs._A * base.F))
+    n, lon0 = _dlit(float(base.n)), _dlit(float(base.lon0))
+    x0, y0r0 = _dlit(float(base.x0)), _dlit(float(base.y0 + base.rho0))
+    udiv = _dlit(float(u))
+    return (
+        f"WITH pts AS ({PTS_SQL}),"
+        " w AS (SELECT point_id, lon / 90.0 + (-74.0) AS lon,"
+        " lat / 50.0 + 40.5 AS lat FROM pts),"
+        " r AS (SELECT point_id, radians(lon) AS lam,"
+        " radians(lat) AS phi FROM w),"
+        f" t AS (SELECT point_id, lam, tan({pio4} - phi / 2) /"
+        f" POW((1 - {e} * sin(phi)) / (1 + {e} * sin(phi)), {ehalf})"
+        " AS tc FROM r),"
+        f" rho AS (SELECT point_id, {af} * POW(tc, {n}) AS rho,"
+        f" {n} * (lam - {lon0}) AS th FROM t)"
+        " SELECT point_id,"
+        f" ROUND(({x0} + rho * sin(th)) / {udiv} + 0.000000001, 3) AS x,"
+        f" ROUND(({y0r0} - rho * cos(th)) / {udiv} + 0.000000001, 3) AS y"
+        " FROM rho ORDER BY point_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1139,6 +1205,7 @@ def build_queries() -> dict:
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "crs_albers": q_crs_albers,
+        "crs_stateplane": q_crs_stateplane,
         "overlay_difference": q_overlay_difference,
         "reclassify_stats": q_reclassify_stats,
         "resample_match_stats": q_resample_match_stats,
@@ -1167,6 +1234,7 @@ def build_oracle_sql() -> dict:
         "geotiff_roundtrip": _geotiff_oracle_sql(),
         "shapefile_roundtrip": _shapefile_oracle_sql(),
         "crs_albers": _crs_albers_oracle_sql(),
+        "crs_stateplane": _crs_stateplane_oracle_sql(),
         "overlay_difference": _overlay_difference_oracle_sql(),
         "reclassify_stats": _reclassify_oracle_sql(),
         "resample_match_stats": _resample_match_oracle_sql(),

@@ -236,6 +236,98 @@ class LambertConformal:
         return np.degrees(self.lon0 + th / self.n), np.degrees(phi)
 
 
+class TransverseMercator:
+    """General Transverse Mercator (Karney series, same machinery as
+    the UTM kernels) with arbitrary natural origin, scale factor and
+    false origin — the parameterization TM-based state-plane zones use
+    (e.g. EPSG:2260 NY East).  The reference reaches these through
+    pyproj (/root/reference/SpaReferencing.py:128-135); here the
+    series is evaluated directly on the WGS84 ellipsoid (GRS80 differs
+    below 0.1 mm at these latitudes).
+    """
+
+    def __init__(self, lat_0=0.0, lon_0=0.0, k_0=1.0, x_0=0.0, y_0=0.0):
+        self.lat0, self.lon0 = float(lat_0), float(lon_0)
+        self.k0, self.x0, self.y0 = float(k_0), float(x_0), float(y_0)
+        # meridian-arc offset of the latitude of natural origin
+        self.xi0 = 0.0 if lat_0 == 0.0 else float(
+            self._xi_eta(np.array([self.lon0]), np.array([self.lat0]))[0][0]
+        )
+
+    def _xi_eta(self, lon, lat):
+        lon = np.radians(np.asarray(lon, dtype=np.float64))
+        lat = np.radians(np.asarray(lat, dtype=np.float64))
+        lon0 = np.radians(self.lon0)
+        e = np.sqrt(_E2)
+        t = np.sinh(np.arctanh(np.sin(lat)) - e * np.arctanh(e * np.sin(lat)))
+        xi_p = np.arctan2(t, np.cos(lon - lon0))
+        eta_p = np.arcsinh(np.sin(lon - lon0) / np.hypot(t, np.cos(lon - lon0)))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, a in enumerate(_ALPHA, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return xi, eta
+
+    def forward(self, lon, lat):
+        xi, eta = self._xi_eta(lon, lat)
+        x = self.x0 + self.k0 * _A1 * eta
+        y = self.y0 + self.k0 * _A1 * (xi - self.xi0)
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        xi = (y - self.y0) / (self.k0 * _A1) + self.xi0
+        eta = (x - self.x0) / (self.k0 * _A1)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b in enumerate(_BETA, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        e = np.sqrt(_E2)
+        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+        lat = chi.copy()
+        for _ in range(6):
+            lat = np.arcsin(
+                np.tanh(
+                    np.arctanh(np.sin(chi)) + e * np.arctanh(e * np.sin(lat))
+                )
+            )
+        lon = self.lon0 + np.degrees(np.arctan2(np.sinh(eta_p), np.cos(xi_p)))
+        return lon, np.degrees(lat)
+
+
+# one projected unit = ``to_meter`` meters (proj4 +units / +to_meter
+# semantics: the projection computes meters, the CRS publishes units;
+# false origins x_0/y_0 stay in meters as PROJ defines them)
+_UNIT_TO_METER = {
+    "m": 1.0,
+    "meter": 1.0,
+    "metre": 1.0,
+    "us-ft": 1200.0 / 3937.0,
+    "ft": 0.3048,
+}
+
+
+class _Scaled:
+    """Unit adapter: wraps a meters-native projection into a CRS whose
+    axis unit is ``to_meter`` meters (us survey foot state planes)."""
+
+    def __init__(self, base, to_meter: float):
+        self.base, self.to_meter = base, float(to_meter)
+
+    def forward(self, lon, lat):
+        x, y = self.base.forward(lon, lat)
+        return x / self.to_meter, y / self.to_meter
+
+    def inverse(self, x, y):
+        return self.base.inverse(
+            np.asarray(x, np.float64) * self.to_meter,
+            np.asarray(y, np.float64) * self.to_meter,
+        )
+
+
 class _UTM:
     """Dict/proj4 front-end wrapper over the Karney UTM kernels."""
 
@@ -296,24 +388,66 @@ def from_proj_dict(d: dict):
     kw = {k: float(d[k]) for k in ("lat_1", "lat_2", "lat_0", "lon_0",
                                    "x_0", "y_0") if k in d}
     if proj == "aea":
-        return Albers(**kw)
-    if proj == "lcc":
-        return LambertConformal(**kw)
-    if proj == "utm":
-        return _UTM(int(d["zone"]), south=bool(d.get("south", False)))
-    if proj in ("merc", "webmerc"):
-        return _WebMercator()
-    if proj in ("longlat", "latlong"):
-        return _LonLat()
-    raise ValueError(f"unsupported proj {proj!r}")
+        base = Albers(**kw)
+    elif proj == "lcc":
+        base = LambertConformal(**kw)
+    elif proj == "tmerc":
+        k0 = float(d.get("k_0", d.get("k", 1.0)))
+        base = TransverseMercator(
+            lat_0=kw.get("lat_0", 0.0), lon_0=kw.get("lon_0", 0.0),
+            k_0=k0, x_0=kw.get("x_0", 0.0), y_0=kw.get("y_0", 0.0),
+        )
+    elif proj == "utm":
+        base = _UTM(int(d["zone"]), south=bool(d.get("south", False)))
+    elif proj in ("merc", "webmerc"):
+        base = _WebMercator()
+    elif proj in ("longlat", "latlong"):
+        base = _LonLat()
+    else:
+        raise ValueError(f"unsupported proj {proj!r}")
+    to_m = d.get("to_meter")
+    if to_m is None and "units" in d:
+        u = str(d["units"]).lower()
+        if u not in _UNIT_TO_METER:
+            raise ValueError(f"unsupported units {d['units']!r}")
+        to_m = _UNIT_TO_METER[u]
+    if to_m is not None and float(to_m) != 1.0:
+        return _Scaled(base, float(to_m))
+    return base
 
 
-# EPSG shortcuts for the conic SPCS zones the reference exercises
+# EPSG → proj-dict shortcuts for common projected CRSes (public PROJ
+# registry definitions; NAD83/GRS80 ellipsoid ≈ WGS84 well below the
+# engine's mm tolerance).  Anything not listed still works via a proj4
+# string or proj dict; UTM codes resolve by prefix in ``norm``.
 _EPSG_CONICS = {
-    # NAD83 California zone 1 (meters) — GRS80 ≈ WGS84 at our tolerance
+    # NAD83 California zone 1 (meters)
     "epsg:26941": dict(proj="lcc", lat_1=41.666666666, lat_2=40.0,
                        lat_0=39.333333333, lon_0=-122.0,
                        x_0=2000000.0, y_0=500000.0),
+    # NAD83 New York Long Island (US survey feet) — the LCC+units case
+    "epsg:2263": dict(proj="lcc", lat_1=41.03333333333333,
+                      lat_2=40.66666666666666, lat_0=40.16666666666666,
+                      lon_0=-74.0, x_0=300000.0000000001, y_0=0.0,
+                      units="us-ft"),
+    # NAD83 California zone 5 (US survey feet)
+    "epsg:2229": dict(proj="lcc", lat_1=35.46666666666667,
+                      lat_2=34.03333333333333, lat_0=33.5, lon_0=-118.0,
+                      x_0=2000000.0001016, y_0=500000.0001016001,
+                      units="us-ft"),
+    # NAD83 New York East (Transverse Mercator, US survey feet)
+    "epsg:2260": dict(proj="tmerc", lat_0=38.83333333333334, lon_0=-74.5,
+                      k=0.9999, x_0=150000.0000000001, y_0=0.0,
+                      units="us-ft"),
+    # CONUS Albers (meters)
+    "epsg:5070": dict(proj="aea", lat_1=29.5, lat_2=45.5, lat_0=23.0,
+                      lon_0=-96.0, x_0=0.0, y_0=0.0),
+    # California Albers (meters)
+    "epsg:3310": dict(proj="aea", lat_1=34.0, lat_2=40.5, lat_0=0.0,
+                      lon_0=-120.0, x_0=0.0, y_0=-4000000.0),
+    # RGF93 / Lambert-93 (meters)
+    "epsg:2154": dict(proj="lcc", lat_1=49.0, lat_2=44.0, lat_0=46.5,
+                      lon_0=3.0, x_0=700000.0, y_0=6600000.0),
 }
 
 
@@ -339,7 +473,12 @@ def transform_arrays(x, y, src, dst):
         if spec.lstrip().startswith("+"):
             return parse_proj4(spec)
         s = spec.lower()
-        return _EPSG_CONICS.get(s, s)
+        if s in _EPSG_CONICS:
+            return _EPSG_CONICS[s]
+        if s.startswith("epsg:269") and len(s) == 10:
+            # NAD83 UTM north zones (26901-26923) — GRS80 ≈ WGS84 here
+            return dict(proj="utm", zone=int(s[8:]))
+        return s
 
     src, dst = norm(src), norm(dst)
     if src == dst:

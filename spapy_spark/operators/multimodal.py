@@ -61,16 +61,30 @@ def _md(m) -> dict:
 def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
     """Decode one image payload → (H, W, C) uint8.
 
-    ``fake=False`` decodes REAL PNG payloads through the from-scratch
-    codec (sources/png.py — stdlib zlib + numpy, all five filter
-    types); other container formats (JPEG etc.) would slot in here.
+    ``fake=False`` decodes REAL payloads through the from-scratch
+    codecs, dispatched on the container signature: PNG
+    (sources/png.py — stdlib zlib + numpy, all five filter types) and
+    baseline JPEG (sources/jpeg.py — Huffman + IDCT + YCbCr, 4:4:4 /
+    4:2:0); other containers (video etc.) would slot in here.
     ``fake=True`` keeps the deterministic byte-tiling stand-in for
     synthetic pipelines/tests that don't carry encoded payloads.
     """
     if not fake:
-        from ..sources import png
+        payload = bytes(payload)
+        if payload[:2] == b"\xff\xd8":
+            from ..sources import jpeg
 
-        img = png.decode_png(bytes(payload))
+            img = jpeg.decode_jpeg(payload)
+        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from ..sources import png
+
+            img = png.decode_png(payload)
+        elif payload[:4] in (b"GIF8", b"RIFF") or payload[:2] == b"BM":
+            raise NotImplementedError(
+                f"unsupported image container (magic {payload[:4]!r})"
+            )
+        else:
+            raise ValueError(f"not an image payload ({payload[:4]!r})")
         if meta.get("channels") and img.shape[2] != meta["channels"]:
             raise ValueError(
                 f"meta/channels mismatch: {img.shape[2]} != {meta['channels']}"
@@ -243,23 +257,38 @@ def frame_sample(
 
 
 def synth_media(
-    spark, n: int = 50, kind: str = "image", png: bool = False
+    spark, n: int = 50, kind: str = "image", png: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
-    """Deterministic media table for tests.  ``png=True`` carries REAL
-    PNG payloads (from-scratch encoder, one filter type per row cycled
-    0..4) for the ``fake=False`` decode path."""
+    """Deterministic media table for tests.  ``codec`` selects REAL
+    payloads for the ``fake=False`` decode path: ``"png"`` (from-
+    scratch encoder, one filter type per row cycled 0..4), ``"jpeg"``
+    (baseline, 4:4:4/4:2:0 alternating), or ``"mixed"`` (PNG/JPEG
+    alternating — exercises the signature dispatch).  ``png=True`` is
+    the pre-JPEG spelling of ``codec="png"``."""
+    if codec is None and png:
+        codec = "png"
     rows = []
     for i in range(n):
         w, h, c = 32 + (i % 3) * 16, 24 + (i % 2) * 8, 3
-        if png:
-            from ..sources import png as _png
-
+        if codec is not None:
             yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack(
                 [((xx * (i + 3) + yy * ch + ch) % 256) for ch in range(c)],
                 axis=2,
             ).astype(np.uint8)
-            payload = _png.encode_png(img, filter_type=i % 5)
+            use = codec if codec != "mixed" else ("png", "jpeg")[i % 2]
+            if use == "png":
+                from ..sources import png as _png
+
+                payload = _png.encode_png(img, filter_type=i % 5)
+            else:
+                from ..sources import jpeg as _jpeg
+
+                payload = _jpeg.encode_jpeg(
+                    img, quality=90,
+                    subsampling=("4:4:4", "4:2:0")[i % 2],
+                )
         else:
             payload = bytes(
                 ((np.arange(200, dtype=np.int64) * (i + 7)) % 251).astype(

@@ -340,6 +340,56 @@ def _resample_bilinear_oracle_sql() -> str:
     )
 
 
+def q_resample_rational_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4/3 RATIONAL bilinear zoom (the general non-integer
+    scipy.ndimage.zoom(order=1) role, reference SpaRasters.py:1284-1339)
+    → per-tile stats.  Fixture is the alg raster re-tiled at 48 px
+    (192² total) so tile·p/q = 64 is integral; with p = 4 a power of
+    two, every sample coordinate (6·out − 1)/8 has an exact-eighth
+    fraction → weights, pixel values, the float32 cast, and the f64
+    tile sums are ALL dyadic-exact.  Zero rounding end-to-end."""
+    tiles = synth.alg_raster_tiles(spark, grid=4, tile=48)
+    out = raster.resample_bilinear_rational(
+        tiles, 4, 3, grid=4, tile=48, out_raster_id="r43"
+    )
+    st = raster.tile_stats(out)
+    return st.select(
+        "tile_y", "tile_x", "n_valid", F.col("sum").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("tile_y", "tile_x")
+
+
+def _resample_rational_oracle_sql() -> str:
+    # out pixel (X,Y) ∈ 256²: src coord (6X−1)/8 (exact eighths), two
+    # neighbors edge-clamped to [0,191]; val = alg formula.  Every
+    # product is a dyadic rational well inside f64 — order-free sums.
+    return (
+        "WITH g AS (SELECT ox, oy FROM generate_series(0, 255) a(ox)"
+        " CROSS JOIN generate_series(0, 255) b(oy)),"
+        " c AS (SELECT ox, oy,"
+        " CAST(floor((6 * ox - 1) / 8.0) AS BIGINT) AS x0,"
+        " CAST(floor((6 * oy - 1) / 8.0) AS BIGINT) AS y0,"
+        " (6 * ox - 1) / 8.0 - floor((6 * ox - 1) / 8.0) AS fx,"
+        " (6 * oy - 1) / 8.0 - floor((6 * oy - 1) / 8.0) AS fy FROM g),"
+        " s AS (SELECT ox, oy, fx, fy,"
+        " LEAST(GREATEST(x0, 0), 191) AS xa,"
+        " LEAST(GREATEST(x0 + 1, 0), 191) AS xb,"
+        " LEAST(GREATEST(y0, 0), 191) AS ya,"
+        " LEAST(GREATEST(y0 + 1, 0), 191) AS yb FROM c),"
+        " v AS (SELECT oy // 64 AS tile_y, ox // 64 AS tile_x,"
+        " (((xa * 37 + ya * 91) % 1000) - 200) * (1 - fy) * (1 - fx)"
+        " + (((xa * 37 + yb * 91) % 1000) - 200) * fy * (1 - fx)"
+        " + (((xb * 37 + ya * 91) % 1000) - 200) * (1 - fy) * fx"
+        " + (((xb * 37 + yb * 91) % 1000) - 200) * fy * fx AS val"
+        " FROM s)"
+        " SELECT CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid, sum(val) AS sum_val,"
+        " min(val) AS min_val, max(val) AS max_val"
+        " FROM v GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"
+    )
+
+
 def q_reclassify_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range reclassify of the algebraic raster into 3 classes →
     per-tile stats (reference ReclassifyRange, SpaRasters.py:1170-1217;
@@ -1200,6 +1250,7 @@ def build_queries() -> dict:
         "crop_stats": q_crop_stats,
         "resample_nn_stats": q_resample_nn_stats,
         "resample_bilinear_stats": q_resample_bilinear_stats,
+        "resample_rational_stats": q_resample_rational_stats,
         "polygonize_counts": q_polygonize_counts,
         "contour_counts": q_contour_counts,
         "geotiff_roundtrip": q_geotiff_roundtrip,
@@ -1229,6 +1280,7 @@ def build_oracle_sql() -> dict:
         "crop_stats": _crop_oracle_sql(),
         "resample_nn_stats": _resample_nn_oracle_sql(),
         "resample_bilinear_stats": _resample_bilinear_oracle_sql(),
+        "resample_rational_stats": _resample_rational_oracle_sql(),
         "polygonize_counts": _polygonize_oracle_sql(),
         "contour_counts": _contour_oracle_sql(),
         "geotiff_roundtrip": _geotiff_oracle_sql(),

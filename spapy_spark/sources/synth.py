@@ -377,16 +377,19 @@ def alg_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     return (((gx * 37 + gy * 91) % 1000) - 200.0).astype("<f4")
 
 
-def alg_raster_tiles(spark):
-    """Algebraic raster tile table (no nodata pixels hit)."""
+def alg_raster_tiles(spark, grid: int = GRID, tile: int = TILE):
+    """Algebraic raster tile table (no nodata pixels hit).  ``grid`` ×
+    ``grid`` tiles of ``tile``² pixels — non-default sizes serve the
+    rational-resample oracle, whose dyadic weights need tile % q == 0
+    shapes the 64-tile default cannot provide."""
     rows = []
-    for ty in range(GRID):
-        for tx in range(GRID):
+    for ty in range(grid):
+        for tx in range(grid):
             gy, gx = np.mgrid[
-                ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
+                ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile
             ]
             v = alg_value(gx.astype(np.int64), gy.astype(np.int64))
-            rows.append(("alg", 1, ty, tx, TILE, TILE, NODATA, v.tobytes()))
+            rows.append(("alg", 1, ty, tx, tile, tile, NODATA, v.tobytes()))
     return spark.createDataFrame(rows, schema=RASTER_SCHEMA)
 
 

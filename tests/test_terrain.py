@@ -323,3 +323,55 @@ def test_contour_to_shapefile_roundtrip(spark, tmp_path):
             else [g1["coordinates"]]
         )
         np.testing.assert_array_equal(c0, c1)
+
+
+@pytest.mark.parametrize("pq", [(3, 2), (5, 4), (3, 4)])
+def test_resample_bilinear_rational_matches_whole_raster(
+    spark, smooth_tiles, pq
+):
+    """Rational p/q zoom (up 3/2, 5/4; down 3/4) must equal a single-
+    array evaluation of the same order-1 sampling on the edge-padded
+    raster BIT-EXACTLY — the kernel computes its sample grid in global
+    coordinates precisely so tiling cannot perturb the weights."""
+    p_, q_ = pq
+    out = raster.resample_bilinear_rational(
+        smooth_tiles, p_, q_, grid=synth.GRID, tile=synth.TILE
+    ).collect()
+    H = synth.GRID * synth.TILE
+    Hout = H * p_ // q_
+    ts = synth.TILE * p_ // q_
+    got = np.zeros((Hout, Hout), dtype=np.float32)
+    for r in out:
+        a = np.frombuffer(bytes(r["pixels"]), dtype="<f4").reshape(
+            r["height"], r["width"]
+        )
+        assert r["height"] == ts and r["width"] == ts
+        got[r["tile_y"] * ts:(r["tile_y"] + 1) * ts,
+            r["tile_x"] * ts:(r["tile_x"] + 1) * ts] = a
+    gy, gx = np.mgrid[0:H, 0:H]
+    arr = synth.dem_value(gx.astype(np.float64), gy.astype(np.float64))
+    pad = np.pad(arr.astype(np.float64), 1, mode="edge")
+    o = (np.arange(Hout, dtype=np.float64) + 0.5) * float(q_) / float(p_) \
+        - 0.5
+    yg = np.floor(o).astype(np.int64)
+    fy = (o - yg)[:, None]
+    fx = (o - yg)[None, :]
+    y0 = yg + 1  # pad offset, integer arithmetic
+    want = (
+        pad[np.ix_(y0, y0)] * (1 - fy) * (1 - fx)
+        + pad[np.ix_(y0 + 1, y0)] * fy * (1 - fx)
+        + pad[np.ix_(y0, y0 + 1)] * (1 - fy) * fx
+        + pad[np.ix_(y0 + 1, y0 + 1)] * fy * fx
+    ).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_resample_rational_validation(spark, smooth_tiles):
+    with pytest.raises(ValueError):
+        raster.resample_bilinear_rational(
+            smooth_tiles, 2, 3, grid=synth.GRID, tile=synth.TILE
+        )  # 64*2 % 3 != 0
+    with pytest.raises(ValueError):
+        raster.resample_bilinear_rational(
+            smooth_tiles, 0, 1, grid=synth.GRID, tile=synth.TILE
+        )

@@ -390,6 +390,80 @@ def _resample_rational_oracle_sql() -> str:
     )
 
 
+def _warp_merc_mapper(lon, lat):
+    """dst EPSG:4326 → src EPSG:3857 for the warp contract row.
+    Same spherical-mercator math as crs.lonlat_to_webmercator but with
+    tan(a) spelled sin(a)/cos(a): DuckDB's SIN/COS/RADIANS are measured
+    BIT-IDENTICAL to numpy on identical doubles (and division is
+    correctly rounded on both), whereas TAN parity is unestablished.
+    LN still differs by 1 ulp on ~25% of inputs — absorbed by the
+    fixture's ≥3.5e-3 floor-boundary margins (test_warp_oracle_margins;
+    1 ulp at y≈2e7 is ~4e-9 → index noise ~2.4e-14)."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    a = np.pi / 4 + np.radians(lat) / 2
+    return (6378137.0 * np.radians(lon),
+            6378137.0 * np.log(np.sin(a) / np.cos(a)))
+
+
+def q_warp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster CRS warp (reference gdal.Warp role, SpaReferencing.py:
+    358,273): the alg raster on an EPSG:3857 meter grid (origin ±2e7,
+    156250 m pixels) warped nearest-neighbor onto an EPSG:4326 grid
+    (lon ±175, lat ±83, 256²) → per-dst-tile stats.  Output-driven
+    inverse warp: dst tile keys via spark.range, need-map join keyed on
+    src tile ids (the only payload shuffle), vectorized per-tile
+    sampling (operators/warp.py).  All 65536 samples land interior to
+    the source, so values are the integer alg formula — exact stats."""
+    from .operators import warp as warp_ops
+
+    tiles = synth.alg_raster_tiles(spark)
+    out = warp_ops.warp_raster(
+        tiles, _warp_merc_mapper,
+        src_origin=(-2.0e7, 2.0e7), src_pixel=(156250.0, 156250.0),
+        src_size=(256, 256), tile=synth.TILE,
+        dst_origin=(-175.0, 83.0),
+        dst_pixel=(350.0 / 256, 166.0 / 256),
+        dst_size=(256, 256), dst_tile=64,
+        method="nearest", out_raster_id="warp",
+    )
+    st = raster.tile_stats(out)
+    return st.select(
+        "tile_y", "tile_x", "n_valid",
+        F.col("sum").cast("long").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("tile_y", "tile_x")
+
+
+def _warp_oracle_sql() -> str:
+    # dst pixel (X,Y) ∈ 256²: center lon = −175 + (X+.5)·350/256 (exact
+    # dyadic), forward-projected to mercator; src index = floor.  The
+    # margins make the floor straddle-free under the 1-ulp LN skew.
+    merc_y = (
+        "6378137.0 * LN(SIN(PI()/4 + RADIANS(83 - (oy + 0.5)"
+        " * 0.6484375)/2) / COS(PI()/4 + RADIANS(83 - (oy + 0.5)"
+        " * 0.6484375)/2))"
+    )
+    return (
+        "WITH g AS (SELECT ox, oy FROM generate_series(0, 255) a(ox)"
+        " CROSS JOIN generate_series(0, 255) b(oy)),"
+        " c AS (SELECT ox, oy,"
+        " CAST(floor((6378137.0 * RADIANS(-175 + (ox + 0.5)"
+        " * 1.3671875) + 20000000.0) / 156250.0) AS BIGINT) AS ix,"
+        f" CAST(floor((20000000.0 - {merc_y}) / 156250.0) AS BIGINT)"
+        " AS iy FROM g),"
+        " v AS (SELECT oy // 64 AS tile_y, ox // 64 AS tile_x,"
+        " ((ix * 37 + iy * 91) % 1000) - 200 AS val FROM c)"
+        " SELECT CAST(tile_y AS INTEGER) AS tile_y,"
+        " CAST(tile_x AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid,"
+        " CAST(sum(val) AS BIGINT) AS sum_val,"
+        " CAST(min(val) AS DOUBLE) AS min_val,"
+        " CAST(max(val) AS DOUBLE) AS max_val"
+        " FROM v GROUP BY tile_y, tile_x ORDER BY tile_y, tile_x"
+    )
+
+
 def q_reclassify_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range reclassify of the algebraic raster into 3 classes →
     per-tile stats (reference ReclassifyRange, SpaRasters.py:1170-1217;
@@ -1251,6 +1325,7 @@ def build_queries() -> dict:
         "resample_nn_stats": q_resample_nn_stats,
         "resample_bilinear_stats": q_resample_bilinear_stats,
         "resample_rational_stats": q_resample_rational_stats,
+        "warp_stats": q_warp_stats,
         "polygonize_counts": q_polygonize_counts,
         "contour_counts": q_contour_counts,
         "geotiff_roundtrip": q_geotiff_roundtrip,
@@ -1281,6 +1356,7 @@ def build_oracle_sql() -> dict:
         "resample_nn_stats": _resample_nn_oracle_sql(),
         "resample_bilinear_stats": _resample_bilinear_oracle_sql(),
         "resample_rational_stats": _resample_rational_oracle_sql(),
+        "warp_stats": _warp_oracle_sql(),
         "polygonize_counts": _polygonize_oracle_sql(),
         "contour_counts": _contour_oracle_sql(),
         "geotiff_roundtrip": _geotiff_oracle_sql(),

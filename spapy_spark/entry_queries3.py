@@ -696,6 +696,76 @@ def _geotiff_oracle_sql() -> str:
     )
 
 
+def q_dtype_zoo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full GDAL pixel-dtype zoo (reference dtype table,
+    /root/reference/SpaRasters.py:665-685): u2/i4/u4/f8 rasters with a
+    shared closed-form value formula, written as native-typed GeoTIFFs
+    by the from-scratch writer, re-ingested with ``native_dtype=True``
+    (tile codec ``ptype`` column), reduced to per-tile stats.  The
+    i4/u4 fixtures are mostly >2^24 and the f8 one is 2^24+j+0.5 — any
+    silent float32 collapse in writer, reader, codec, or stats breaks
+    the exact sums.  All arithmetic is ≤2^53 so every sum is an exact
+    double in both engines regardless of accumulation order."""
+    from .sources import geotiff
+
+    gy, gx = np.mgrid[0:128, 0:128]
+    k = gx.astype(np.int64) * 2654435761 + gy.astype(np.int64) * 40503
+    arrs = {
+        "u2": (k % 60000).astype("<u2"),
+        "i4": ((k % 2000000000) - 1000000000).astype("<i4"),
+        "u4": (k % 4000000000).astype("<u4"),
+        "f8": (16777216.0 + (k % 4096).astype("<f8") + 0.5),
+    }
+    nd = {"u2": 65535.0, "i4": 2147483647.0, "u4": 4294967295.0,
+          "f8": -9999.0}
+    parts = []
+    for dt, arr in arrs.items():
+        path = os.path.join(
+            tempfile.gettempdir(), f"spapy_zoo_{dt}_{os.getpid()}.tif"
+        )
+        geotiff.write_geotiff(path, arr, synth.GEOTRANSFORM,
+                              nodata=nd[dt], dtype="native")
+        parts.append(geotiff.geotiff_tiles(
+            spark, path, tile=synth.TILE, raster_id=dt, nodata=nd[dt],
+            native_dtype=True,
+        ))
+    tiles = parts[0]
+    for p in parts[1:]:
+        tiles = tiles.unionByName(p)
+    st = raster.tile_stats(tiles)
+    return st.select(
+        F.col("raster_id").alias("dtype"), "tile_y", "tile_x", "n_valid",
+        F.col("sum").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("dtype", "tile_y", "tile_x")
+
+
+def _dtype_zoo_oracle_sql() -> str:
+    return (
+        "WITH g AS (SELECT gx, gy,"
+        " gx * 2654435761 + gy * 40503 AS k"
+        " FROM generate_series(0, 127) a(gx)"
+        " CROSS JOIN generate_series(0, 127) b(gy)),"
+        " v AS ("
+        " SELECT 'u2' AS dtype, gx, gy,"
+        " CAST(k % 60000 AS DOUBLE) AS val FROM g"
+        " UNION ALL SELECT 'i4', gx, gy,"
+        " CAST((k % 2000000000) - 1000000000 AS DOUBLE) FROM g"
+        " UNION ALL SELECT 'u4', gx, gy,"
+        " CAST(k % 4000000000 AS DOUBLE) FROM g"
+        " UNION ALL SELECT 'f8', gx, gy,"
+        " 16777216.0 + CAST(k % 4096 AS DOUBLE) + 0.5 FROM g)"
+        " SELECT dtype, CAST(gy // 64 AS INTEGER) AS tile_y,"
+        " CAST(gx // 64 AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid,"
+        " CAST(sum(val) AS DOUBLE) AS sum_val,"
+        " CAST(min(val) AS DOUBLE) AS min_val,"
+        " CAST(max(val) AS DOUBLE) AS max_val"
+        " FROM v GROUP BY dtype, tile_y, tile_x"
+        " ORDER BY dtype, tile_y, tile_x"
+    )
+
+
 def q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write derived boxes to a real .shp/.shx/.dbf with the
     from-scratch writer, re-read with the from-scratch reader, compute
@@ -1329,6 +1399,7 @@ def build_queries() -> dict:
         "polygonize_counts": q_polygonize_counts,
         "contour_counts": q_contour_counts,
         "geotiff_roundtrip": q_geotiff_roundtrip,
+        "dtype_zoo_stats": q_dtype_zoo_stats,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "crs_albers": q_crs_albers,
         "crs_stateplane": q_crs_stateplane,
@@ -1360,6 +1431,7 @@ def build_oracle_sql() -> dict:
         "polygonize_counts": _polygonize_oracle_sql(),
         "contour_counts": _contour_oracle_sql(),
         "geotiff_roundtrip": _geotiff_oracle_sql(),
+        "dtype_zoo_stats": _dtype_zoo_oracle_sql(),
         "shapefile_roundtrip": _shapefile_oracle_sql(),
         "crs_albers": _crs_albers_oracle_sql(),
         "crs_stateplane": _crs_stateplane_oracle_sql(),

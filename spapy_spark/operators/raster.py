@@ -79,40 +79,86 @@ _UNARY = {
 _TILE_KEY = ["band", "tile_y", "tile_x"]
 
 
-def _buf(b: bytes, h: int, w: int) -> np.ndarray:
-    """Tile payload → (h, w) array.  The buffer length selects the
-    pixel dtype (reference carries 8 GDAL dtypes,
-    /root/reference/SpaRasters.py:665-685; this engine carries three):
-    4 bytes/px → float32 (the compute type), 1 → uint8 (landcover/
-    class rasters), 2 → int16 (small DEM exports).  Arithmetic
-    operators promote to float64 regardless; dtype-preserving ops
-    (crop, NN resample, reclassify) keep the input's byte width."""
+# GDAL pixel-dtype zoo (/root/reference/SpaRasters.py:665-685), as
+# little-endian numpy codes.  ``ptype`` is the optional tile-table
+# column naming the buffer's dtype; without it the codec infers from
+# byte width (f4 / u1 / i2 / f8 — the unambiguous widths).  The
+# width-ambiguous types (u2 vs i2, i4/u4 vs f4) REQUIRE the column.
+_PTYPES = {
+    "u1": "u1", "i1": "i1", "u2": "<u2", "i2": "<i2",
+    "u4": "<u4", "i4": "<i4", "f4": "<f4", "f8": "<f8",
+}
+
+
+def _pt(r):
+    """Row → its ptype tag (None when the table has no ptype column)."""
+    v = getattr(r, "ptype", None)
+    return None if v is None or (isinstance(v, float) and np.isnan(v)) else v
+
+
+def _pts(a: np.ndarray) -> str:
+    """Array → ptype tag ('u2', 'i4', 'f8', …)."""
+    return f"{a.dtype.kind}{a.dtype.itemsize}"
+
+
+def _ndmask(a: np.ndarray, nodata: float) -> np.ndarray:
+    """Mask = (pixel == nodata), dtype-correct: float32 buffers compare
+    in f32 (the measured bit-exact legacy path), float64 buffers against
+    the UNROUNDED double, integer buffers against the f32-rounded value
+    promoted exactly to f64 (legacy u1/i2 semantics; exact for i4/u4
+    too — |int32| < 2^53)."""
+    if a.dtype == np.dtype("<f4"):
+        return np.equal(a, np.float32(nodata))
+    if a.dtype.kind == "f":
+        return np.equal(a, np.float64(nodata))
+    return np.equal(a, np.float64(np.float32(nodata)))
+
+
+def _buf(b: bytes, h: int, w: int, ptype: str | None = None) -> np.ndarray:
+    """Tile payload → (h, w) array.  ``ptype`` (from the optional tile
+    column) names the dtype explicitly; otherwise the buffer length
+    selects it: 4 bytes/px → float32 (the compute type), 1 → uint8
+    (landcover/class rasters), 2 → int16 (small DEM exports), 8 →
+    float64.  Arithmetic operators promote to float64 regardless;
+    dtype-preserving ops (crop, NN resample, reclassify, warp-nearest)
+    keep the input dtype."""
     b = bytes(b)
     n = h * w
+    if ptype is not None:
+        a = np.frombuffer(b, dtype=np.dtype(_PTYPES[ptype]))
+        if len(a) != n:
+            raise ValueError(
+                f"pixel buffer {len(b)} B is not {h}x{w} {ptype}")
+        return a.reshape(h, w)
     if len(b) == n * 4:
         return np.frombuffer(b, dtype="<f4").reshape(h, w)
     if len(b) == n:
         return np.frombuffer(b, dtype="u1").reshape(h, w)
     if len(b) == n * 2:
         return np.frombuffer(b, dtype="<i2").reshape(h, w)
+    if len(b) == n * 8:
+        return np.frombuffer(b, dtype="<f8").reshape(h, w)
     raise ValueError(f"pixel buffer {len(b)} B does not match {h}x{w}")
 
 
 def _masked_apply(fn, a, b, nodata, nodata_b=None):
     """Apply fn over masked buffers; each side masked against its OWN
     nodata (reference ORs per-raster masks, SpaRasters.py:750,2146-2156)
-    and the output stamped with raster A's nodata."""
-    mask = np.equal(a, np.float32(nodata))
+    and the output stamped with raster A's nodata.  Output is the f32
+    compute type, except float64 inputs which stay f64 (GDAL promotes
+    Float64 math to Float64)."""
+    mask = _ndmask(a, nodata)
     if isinstance(b, np.ndarray):
         nb = nodata if nodata_b is None else nodata_b
-        mask |= np.equal(b, np.float32(nb))
+        mask |= _ndmask(b, nb)
     with np.errstate(all="ignore"):
         out = fn(a.astype(np.float64), b if not isinstance(b, np.ndarray)
                  else b.astype(np.float64))
     if out.dtype == bool:
         out = out.astype(np.float64)
     out = np.where(mask, np.float64(nodata), out)
-    return out.astype("<f4"), mask
+    odt = "<f8" if (a.dtype.kind == "f" and a.dtype.itemsize == 8) else "<f4"
+    return out.astype(odt), mask
 
 
 def map_algebra(
@@ -132,23 +178,32 @@ def map_algebra(
     schema = tiles_a.schema
 
     if isinstance(tiles_b, DataFrame):
-        b = tiles_b.select(
+        b_cols = [
             *_TILE_KEY, F.col("pixels").alias("pixels_b"),
             F.col("nodata").alias("nodata_b"),
-        )
+        ]
+        if "ptype" in tiles_b.columns:
+            b_cols.append(F.col("ptype").alias("ptype_b"))
+        b = tiles_b.select(*b_cols)
         j = tiles_a.join(b, _TILE_KEY)  # co-partitioned equi-join
+        drop_b = [c for c in ("pixels_b", "nodata_b", "ptype_b")
+                  if c in j.columns]
 
         def run(batches):
             for pdf in batches:
-                outs = []
+                outs, pts = [], []
                 for r in pdf.itertuples(index=False):
-                    a = _buf(r.pixels, r.height, r.width)
-                    bb = _buf(r.pixels_b, r.height, r.width)
+                    a = _buf(r.pixels, r.height, r.width, _pt(r))
+                    bb = _buf(r.pixels_b, r.height, r.width,
+                              getattr(r, "ptype_b", None))
                     out, _ = _masked_apply(fn, a, bb, r.nodata, r.nodata_b)
                     outs.append(out.tobytes())
-                res = pdf.drop(columns=["pixels_b", "nodata_b"]).copy()
+                    pts.append(_pts(out))
+                res = pdf.drop(columns=drop_b).copy()
                 res["pixels"] = outs
                 res["raster_id"] = out_raster_id
+                if "ptype" in res.columns:
+                    res["ptype"] = pts
                 yield res
 
         return j.mapInPandas(run, schema=schema)
@@ -157,14 +212,17 @@ def map_algebra(
 
     def run_s(batches):
         for pdf in batches:
-            outs = []
+            outs, pts = [], []
             for r in pdf.itertuples(index=False):
-                a = _buf(r.pixels, r.height, r.width)
+                a = _buf(r.pixels, r.height, r.width, _pt(r))
                 out, _ = _masked_apply(fn, a, scalar, r.nodata)
                 outs.append(out.tobytes())
+                pts.append(_pts(out))
             res = pdf.copy()
             res["pixels"] = outs
             res["raster_id"] = out_raster_id
+            if "ptype" in res.columns:
+                res["ptype"] = pts
             yield res
 
     return tiles_a.mapInPandas(run_s, schema=schema)
@@ -178,19 +236,25 @@ def unary_algebra(tiles: DataFrame, op: str, out_raster_id: str = "out") -> Data
 
     def run(batches):
         for pdf in batches:
-            outs = []
+            outs, pts = [], []
             for r in pdf.itertuples(index=False):
-                a = _buf(r.pixels, r.height, r.width)
-                mask = np.equal(a, np.float32(r.nodata))
+                a = _buf(r.pixels, r.height, r.width, _pt(r))
+                mask = _ndmask(a, r.nodata)
                 with np.errstate(all="ignore"):
                     out = fn(a.astype(np.float64))
                 if out.dtype == bool:
                     out = out.astype(np.float64)
                 out = np.where(mask, np.float64(r.nodata), out)
-                outs.append(out.astype("<f4").tobytes())
+                odt = ("<f8" if (a.dtype.kind == "f"
+                                 and a.dtype.itemsize == 8) else "<f4")
+                out = out.astype(odt)
+                outs.append(out.tobytes())
+                pts.append(_pts(out))
             res = pdf.copy()
             res["pixels"] = outs
             res["raster_id"] = out_raster_id
+            if "ptype" in res.columns:
+                res["ptype"] = pts
             yield res
 
     return tiles.mapInPandas(run, schema=schema)
@@ -211,21 +275,27 @@ def reclassify(tiles: DataFrame, bounds: list, values: list,
 
     def run(batches):
         for pdf in batches:
-            outs = []
+            outs, pts = [], []
             for r in pdf.itertuples(index=False):
-                a0 = _buf(r.pixels, r.height, r.width)
+                a0 = _buf(r.pixels, r.height, r.width, _pt(r))
                 a = a0.astype(np.float64)
-                mask = np.equal(a, np.float64(np.float32(r.nodata)))
+                mask = _ndmask(a0, r.nodata)
                 conds = [(a >= l) & (a < h) for l, h in zip(lo, hi)]
                 out = np.select(conds, vals, default=np.float64(r.nodata))
                 out = np.where(mask, np.float64(r.nodata), out)
                 # integer tiles stay integer (exact landcover classes;
-                # caller's values/nodata must fit the dtype)
-                odt = a0.dtype if a0.dtype.kind in "iu" else np.dtype("<f4")
-                outs.append(out.astype(odt).tobytes())
+                # caller's values/nodata must fit the dtype); f64 stays
+                # f64
+                odt = (a0.dtype if a0.dtype.kind in "iu"
+                       or a0.dtype.itemsize == 8 else np.dtype("<f4"))
+                out = out.astype(odt)
+                outs.append(out.tobytes())
+                pts.append(_pts(out))
             res = pdf.copy()
             res["pixels"] = outs
             res["raster_id"] = out_raster_id
+            if "ptype" in res.columns:
+                res["ptype"] = pts
             yield res
 
     return tiles.mapInPandas(run, schema=schema)
@@ -252,8 +322,8 @@ def band_stats(tiles: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                a = _buf(r.pixels, r.height, r.width)
-                valid = a[~np.equal(a, np.float32(r.nodata))]
+                a = _buf(r.pixels, r.height, r.width, _pt(r))
+                valid = a[~_ndmask(a, r.nodata)]
                 if len(valid) == 0:
                     rows.append((r.raster_id, r.band, None, None, None, 0))
                 else:
@@ -294,8 +364,8 @@ def tile_stats(tiles: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                a = _buf(r.pixels, r.height, r.width)
-                valid = a[~np.equal(a, np.float32(r.nodata))].astype(np.float64)
+                a = _buf(r.pixels, r.height, r.width, _pt(r))
+                valid = a[~_ndmask(a, r.nodata)].astype(np.float64)
                 if len(valid) == 0:
                     rows.append((r.raster_id, r.band, r.tile_y, r.tile_x,
                                  0, None, None, None))
@@ -333,8 +403,8 @@ def histogram(tiles: DataFrame, bins: int = 10) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 mn, mx = st[(r.raster_id, r.band)]
-                a = _buf(r.pixels, r.height, r.width)
-                valid = a[~np.equal(a, np.float32(r.nodata))].astype(np.float64)
+                a = _buf(r.pixels, r.height, r.width, _pt(r))
+                valid = a[~_ndmask(a, r.nodata)].astype(np.float64)
                 if len(valid) == 0 or mx <= mn:
                     continue
                 w = (mx - mn) / nb
@@ -376,6 +446,8 @@ def crop_pixels(
         & (F.col("tile_y") >= t0y) & (F.col("tile_y") <= t1y)
     )
 
+    has_pt = "ptype" in tiles.columns
+
     def run(batches):
         for pdf in batches:
             rows = []
@@ -385,16 +457,19 @@ def crop_pixels(
                 sy0 = max(py0 - gy0, 0)
                 sx1 = min(px1 - gx0, r.width)
                 sy1 = min(py1 - gy0, r.height)
-                a = _buf(r.pixels, r.height, r.width)[sy0:sy1, sx0:sx1]
-                rows.append((
+                a = _buf(r.pixels, r.height, r.width, _pt(r))[sy0:sy1,
+                                                              sx0:sx1]
+                row = (
                     r.raster_id, r.band,
                     int(r.tile_y - t0y), int(r.tile_x - t0x),
                     a.shape[0], a.shape[1], r.nodata,
                     np.ascontiguousarray(a).tobytes(),
-                ))
-            yield pd.DataFrame(rows, columns=[
-                "raster_id", "band", "tile_y", "tile_x", "height", "width",
-                "nodata", "pixels"])
+                )
+                rows.append(row + (_pt(r),) if has_pt else row)
+            cols = ["raster_id", "band", "tile_y", "tile_x", "height",
+                    "width", "nodata", "pixels"] + (
+                        ["ptype"] if has_pt else [])
+            yield pd.DataFrame(rows, columns=cols)
 
     return pruned.mapInPandas(run, schema=schema)
 
@@ -438,7 +513,10 @@ def sample_points(
     t = tiles.where(F.col("band") == band)
     if raster_id is not None:
         t = t.where(F.col("raster_id") == raster_id)
-    t = t.select("tile_y", "tile_x", "height", "width", "nodata", "pixels")
+    t_cols = ["tile_y", "tile_x", "height", "width", "nodata", "pixels"]
+    if "ptype" in t.columns:
+        t_cols.append("ptype")
+    t = t.select(*t_cols)
     fields = [f for f in points.schema.fields if f.name in point_cols]
     schema = StructType(fields + [StructField(out, DoubleType(), False)])
 
@@ -453,14 +531,17 @@ def sample_points(
         trow = tile_pdf.iloc[0]
         h, w = int(trow["height"]), int(trow["width"])
         nd = float(trow["nodata"])
-        a = _buf(trow["pixels"], h, w)
+        a = _buf(trow["pixels"], h, w,
+                 trow["ptype"] if "ptype" in tile_pdf.columns else None)
         ty, tx = int(key[0]), int(key[1])
         ly = pts_pdf["__py"].to_numpy(np.int64) - np.int64(ty) * tile
         lx = pts_pdf["__px"].to_numpy(np.int64) - np.int64(tx) * tile
         inb = (ly >= 0) & (ly < h) & (lx >= 0) & (lx < w)
         v = np.full(len(pts_pdf), nd)
         v[inb] = a[ly[inb], lx[inb]].astype(np.float64)
-        ok = inb & ~np.equal(v, np.float64(np.float32(nd)))
+        ndc = (np.float64(nd) if a.dtype.kind == "f"
+               and a.dtype.itemsize == 8 else np.float64(np.float32(nd)))
+        ok = inb & ~np.equal(v, ndc)
         res = pts_pdf.loc[ok, point_cols].reset_index(drop=True)
         res[out] = v[ok]
         return res
@@ -485,20 +566,24 @@ def resample_nearest(
         raise ValueError("tile size must be divisible by the rates")
     schema = tiles.schema
 
+    has_pt = "ptype" in tiles.columns
+
     def run(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                a = _buf(r.pixels, r.height, r.width)
+                a = _buf(r.pixels, r.height, r.width, _pt(r))
                 out = a[::row_rate, ::col_rate]
-                rows.append((
+                row = (
                     out_raster_id, r.band, r.tile_y, r.tile_x,
                     out.shape[0], out.shape[1], r.nodata,
                     np.ascontiguousarray(out).tobytes(),
-                ))
-            yield pd.DataFrame(rows, columns=[
-                "raster_id", "band", "tile_y", "tile_x", "height", "width",
-                "nodata", "pixels"])
+                )
+                rows.append(row + (_pt(r),) if has_pt else row)
+            cols = ["raster_id", "band", "tile_y", "tile_x", "height",
+                    "width", "nodata", "pixels"] + (
+                        ["ptype"] if has_pt else [])
+            yield pd.DataFrame(rows, columns=cols)
 
     return tiles.mapInPandas(run, schema=schema)
 

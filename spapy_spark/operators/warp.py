@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .raster import _buf
+from .raster import _buf, _pt, _pts
 
 MapperT = Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]
 
@@ -142,14 +142,16 @@ def warp_raster(
         ty_a, ty_b = int(pdf["dty_sty"].min()), int(pdf["dty_sty"].max())
         tx_a, tx_b = int(pdf["dty_stx"].min()), int(pdf["dty_stx"].max())
         mh, mw = (ty_b - ty_a + 1) * tile, (tx_b - tx_a + 1) * tile
+        has_pt = "ptype" in pdf.columns
         first = _buf(pdf["pixels"].iloc[0], int(pdf["height"].iloc[0]),
-                     int(pdf["width"].iloc[0]))
+                     int(pdf["width"].iloc[0]),
+                     pdf["ptype"].iloc[0] if has_pt else None)
         f32 = method == "bilinear" or first.dtype == np.float32
         mos = np.full((mh, mw), np.float32(nodata) if f32
                       else first.dtype.type(nodata),
                       dtype=np.float32 if f32 else first.dtype)
         for rr in pdf.itertuples(index=False):
-            a = _buf(rr.pixels, rr.height, rr.width)
+            a = _buf(rr.pixels, rr.height, rr.width, _pt(rr))
             oy = (int(rr.dty_sty) - ty_a) * tile
             ox = (int(rr.dty_stx) - tx_a) * tile
             mos[oy:oy + rr.height, ox:ox + rr.width] = a
@@ -206,11 +208,14 @@ def warp_raster(
                    + v10 * wy * (1 - wx) + v11 * wy * wx)
             payload = np.where(bad, np.float64(nodata),
                                val).astype("<f4")
-        return pd.DataFrame([{
+        orow = {
             "raster_id": out_raster_id, "band": band, "tile_y": int(dty),
             "tile_x": int(dtx), "height": h, "width": w,
             "nodata": nodata, "pixels": payload.tobytes(),
-        }])
+        }
+        if has_pt:
+            orow["ptype"] = _pts(payload)
+        return pd.DataFrame([orow])
 
     # keep the need-map key columns past the groupBy under stable names
     j = j.withColumnRenamed("dty", "__dty").withColumnRenamed(

@@ -142,7 +142,7 @@ def read_info(path: str) -> TiffInfo:
         raise NotImplementedError(f"TIFF Predictor={predictor}")
     if info.samples_per_pixel != 1:
         raise NotImplementedError("multi-band TIFF not supported (band 1 only)")
-    if info.bits not in (8, 16, 32):
+    if info.bits not in (8, 16, 32, 64):
         raise NotImplementedError(f"BitsPerSample={info.bits}")
     if _TILE_W in tags:
         info.tile_width = int(one(_TILE_W))
@@ -251,9 +251,11 @@ def geotiff_tiles(
     straight to its rows and slices them into width-``tile`` tiles —
     full parallel scan, nothing driver-side but the IFD.  Pixels are
     float32 (the engine's compute cell type) by default;
-    ``native_dtype=True`` keeps uint8/int16 buffers as-is (the tile
-    codec infers dtype from byte width — exact landcover semantics,
-    reference dtype table at /root/reference/SpaRasters.py:665-685).
+    ``native_dtype=True`` keeps the file's own pixel type — the full
+    GDAL zoo u1/i1/u2/i2/u4/i4/f4/f8 (reference dtype table at
+    /root/reference/SpaRasters.py:665-685) — and emits a ``ptype``
+    column tagging it, since byte width alone cannot distinguish
+    u2 from i2 or i4/u4 from f4 (operators/raster._PTYPES).
     """
     from .synth import RASTER_SCHEMA
 
@@ -282,24 +284,28 @@ def geotiff_tiles(
                         band_rows = _rows_from_tiles(info_, f, r0, r1)
                     else:
                         band_rows = _rows_bytes(info_, f, r0, r1)
-                    if native_ and band_rows.dtype.itemsize in (1, 2):
+                    if native_:
                         # engine tile codec is little-endian
                         a = band_rows.astype(
                             band_rows.dtype.newbyteorder("<")
                         )
                     else:
                         a = band_rows.astype("<f4")
+                    pt = f"{a.dtype.kind}{a.dtype.itemsize}"
                     for tx in range(0, info_.width, tile_):
                         sub = np.ascontiguousarray(a[:, tx : tx + tile_])
-                        out.append((
+                        row = (
                             rid_, 1, int(ty), tx // tile_,
                             sub.shape[0], sub.shape[1], nd_, sub.tobytes(),
-                        ))
-                yield pd.DataFrame(out, columns=[
-                    "raster_id", "band", "tile_y", "tile_x", "height",
-                    "width", "nodata", "pixels"])
+                        )
+                        out.append(row + (pt,) if native_ else row)
+                cols = ["raster_id", "band", "tile_y", "tile_x", "height",
+                        "width", "nodata", "pixels"] + (
+                            ["ptype"] if native_ else [])
+                yield pd.DataFrame(out, columns=cols)
 
-    return rows.mapInPandas(gen, schema=RASTER_SCHEMA)
+    schema = RASTER_SCHEMA + (", ptype string" if native_dtype else "")
+    return rows.mapInPandas(gen, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -313,18 +319,35 @@ def write_geotiff(
     geotransform: tuple | None = None,
     nodata: float | None = None,
     compress: str | None = None,
+    dtype: str | None = None,
 ) -> None:
     """Single-band little-endian GeoTIFF (strip per 64 rows),
     optionally Deflate-compressed (``compress='deflate'`` → per-strip
     stdlib zlib, Compression tag 8 — the most common real DEM export).
     Mirrors reference Save (/root/reference/SpaRasters.py:752) for the
-    formats the reader supports — lossless roundtrip without GDAL."""
+    formats the reader supports — lossless roundtrip without GDAL.
+
+    ``dtype=None`` (legacy) collapses to the engine's three transport
+    types: float→f4, int→i4, else u1.  ``dtype='native'`` writes the
+    array's own dtype faithfully — any of the GDAL zoo
+    u1/i1/u2/i2/u4/i4/f4/f8 (SampleFormat + BitsPerSample tags per
+    /root/reference/SpaRasters.py:665-685); other codes (e.g. 'u2')
+    force that exact type."""
     import zlib
 
     if compress not in (None, "deflate"):
         raise ValueError(f"unsupported compress={compress!r}")
     a = np.asarray(arr)
-    if a.dtype.kind == "f":
+    if dtype is not None:
+        want = a.dtype if dtype == "native" else np.dtype(dtype)
+        if want.kind not in "uif" or want.itemsize not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported GeoTIFF dtype {want}")
+        if want.kind == "f" and want.itemsize < 4:
+            raise ValueError(f"unsupported GeoTIFF dtype {want}")
+        a = a.astype(want.newbyteorder("<"))
+        sfmt = {"u": 1, "i": 2, "f": 3}[want.kind]
+        bits = want.itemsize * 8
+    elif a.dtype.kind == "f":
         a = a.astype("<f4")
         sfmt, bits = 3, 32
     elif a.dtype.kind == "i":

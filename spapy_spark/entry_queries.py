@@ -648,6 +648,7 @@ def _raster_sample_oracle_sql() -> str:
 # r1 and are trivially re-verifiable plain SQL — if a cap drops rows,
 # it drops the ones with the longest green history.
 _FRONT = [
+    "multiband_stats",
     "dtype_zoo_stats",
     "warp_stats",
     "resample_rational_stats",

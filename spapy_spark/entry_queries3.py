@@ -766,6 +766,60 @@ def _dtype_zoo_oracle_sql() -> str:
     )
 
 
+def q_multiband_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band GeoTIFF ingest (reference band stacks,
+    /root/reference/SpaRasters.py:62,687-752): a 3-band chunky
+    (PlanarConfiguration=1) u2 file written with Deflate +
+    Predictor=2 horizontal differencing — the exact layout `gdal
+    Translate -co COMPRESS=DEFLATE -co PREDICTOR=2` emits — is
+    re-ingested by the distributed reader (one decode per tile row
+    covers all bands) and reduced to per-(band, tile) stats.  Any
+    error in band interleave, predictor cumsum, or the u2 codec
+    shifts a sum."""
+    from .sources import geotiff
+
+    gy, gx = np.mgrid[0:128, 0:128]
+    base = gx.astype(np.int64) * 37 + gy.astype(np.int64) * 91
+    arr = np.stack([
+        ((base + b * 12345) % 60000).astype("<u2") for b in range(3)
+    ])
+    path = os.path.join(
+        tempfile.gettempdir(), f"spapy_mb_{os.getpid()}.tif"
+    )
+    geotiff.write_geotiff(path, arr, synth.GEOTRANSFORM, nodata=65535.0,
+                          compress="deflate", dtype="native", predictor=2)
+    tiles = geotiff.geotiff_tiles(
+        spark, path, tile=synth.TILE, raster_id="mb", nodata=65535.0,
+        native_dtype=True,
+    )
+    st = raster.tile_stats(tiles)
+    return st.select(
+        "band", "tile_y", "tile_x", "n_valid",
+        F.col("sum").cast("long").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("band", "tile_y", "tile_x")
+
+
+def _multiband_oracle_sql() -> str:
+    return (
+        "WITH g AS (SELECT gx, gy, gx * 37 + gy * 91 AS base"
+        " FROM generate_series(0, 127) a(gx)"
+        " CROSS JOIN generate_series(0, 127) b(gy)),"
+        " v AS (SELECT band, gx, gy,"
+        " (base + (band - 1) * 12345) % 60000 AS val"
+        " FROM g CROSS JOIN generate_series(1, 3) c(band))"
+        " SELECT CAST(band AS INTEGER) AS band,"
+        " CAST(gy // 64 AS INTEGER) AS tile_y,"
+        " CAST(gx // 64 AS INTEGER) AS tile_x,"
+        " CAST(count(*) AS BIGINT) AS n_valid,"
+        " CAST(sum(val) AS BIGINT) AS sum_val,"
+        " CAST(min(val) AS DOUBLE) AS min_val,"
+        " CAST(max(val) AS DOUBLE) AS max_val"
+        " FROM v GROUP BY band, tile_y, tile_x"
+        " ORDER BY band, tile_y, tile_x"
+    )
+
+
 def q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write derived boxes to a real .shp/.shx/.dbf with the
     from-scratch writer, re-read with the from-scratch reader, compute
@@ -1400,6 +1454,7 @@ def build_queries() -> dict:
         "contour_counts": q_contour_counts,
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "dtype_zoo_stats": q_dtype_zoo_stats,
+        "multiband_stats": q_multiband_stats,
         "shapefile_roundtrip": q_shapefile_roundtrip,
         "crs_albers": q_crs_albers,
         "crs_stateplane": q_crs_stateplane,
@@ -1432,6 +1487,7 @@ def build_oracle_sql() -> dict:
         "contour_counts": _contour_oracle_sql(),
         "geotiff_roundtrip": _geotiff_oracle_sql(),
         "dtype_zoo_stats": _dtype_zoo_oracle_sql(),
+        "multiband_stats": _multiband_oracle_sql(),
         "shapefile_roundtrip": _shapefile_oracle_sql(),
         "crs_albers": _crs_albers_oracle_sql(),
         "crs_stateplane": _crs_stateplane_oracle_sql(),

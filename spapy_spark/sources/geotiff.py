@@ -39,8 +39,9 @@ _MODEL_SCALE, _MODEL_TIE = 33550, 33922
 _GDAL_NODATA = 42113
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-              10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -52,6 +53,8 @@ class TiffInfo:
     endian: str = "<"
     compression: int = 1
     samples_per_pixel: int = 1
+    planar: int = 1  # 1 chunky (interleaved), 2 planar (band-sequential)
+    predictor: int = 1  # 1 none, 2 horizontal differencing
     rows_per_strip: int = 0
     strip_offsets: list = field(default_factory=list)
     strip_byte_counts: list = field(default_factory=list)
@@ -72,20 +75,30 @@ class TiffInfo:
         return self.tile_width > 0
 
 
-def _read_ifd_entries(f, endian: str, off: int):
+def _read_ifd_entries(f, endian: str, off: int, big: bool = False):
     """Seek-based IFD parse — touches only the IFD block and each
     entry's external value area (a 100 GB file costs a few KB of
-    reads wherever its IFD lives)."""
+    reads wherever its IFD lives).  ``big=True`` parses a BigTIFF
+    (magic 43) IFD: 8-byte entry count, 20-byte entries, 8-byte
+    inline value area and offsets — the layout GDAL emits for any
+    raster past the classic 4 GB ceiling."""
     f.seek(off)
-    (n,) = struct.unpack(endian + "H", f.read(2))
-    block = f.read(12 * n + 4)
+    if big:
+        (n,) = struct.unpack(endian + "Q", f.read(8))
+        esz, inline, ofmt = 20, 8, "Q"
+    else:
+        (n,) = struct.unpack(endian + "H", f.read(2))
+        esz, inline, ofmt = 12, 4, "I"
+    block = f.read(esz * n + (8 if big else 4))
     out = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack_from(endian + "HHI", block, 12 * i)
-        val_raw = block[12 * i + 8 : 12 * i + 12]
+        tag, typ = struct.unpack_from(endian + "HH", block, esz * i)
+        (cnt,) = struct.unpack_from(endian + ofmt, block, esz * i + 4)
+        voff = esz * i + (12 if big else 8)
+        val_raw = block[voff : voff + inline]
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        if size > 4:
-            (data_off,) = struct.unpack(endian + "I", val_raw)
+        if size > inline:
+            (data_off,) = struct.unpack_from(endian + ofmt, val_raw)
             f.seek(data_off)
             raw = f.read(size)
         else:
@@ -115,12 +128,18 @@ def read_info(path: str) -> TiffInfo:
         else:
             raise ValueError(f"not a TIFF file: {path!r}")
         (magic,) = struct.unpack_from(endian + "H", head, 2)
-        if magic == 43:
-            raise NotImplementedError("BigTIFF not supported (classic only)")
-        if magic != 42:
+        if magic == 43:  # BigTIFF: 8-byte offsets everywhere
+            head += f.read(8)
+            (osz, pad) = struct.unpack_from(endian + "HH", head, 4)
+            if osz != 8 or pad != 0:
+                raise ValueError(f"bad BigTIFF header ({osz}, {pad})")
+            (ifd_off,) = struct.unpack_from(endian + "Q", head, 8)
+            tags = _read_ifd_entries(f, endian, ifd_off, big=True)
+        elif magic == 42:
+            (ifd_off,) = struct.unpack_from(endian + "I", head, 4)
+            tags = _read_ifd_entries(f, endian, ifd_off)
+        else:
             raise ValueError(f"bad TIFF magic {magic}")
-        (ifd_off,) = struct.unpack_from(endian + "I", head, 4)
-        tags = _read_ifd_entries(f, endian, ifd_off)
 
     def one(tag, default=None):
         v = tags.get(tag, default)
@@ -131,17 +150,23 @@ def read_info(path: str) -> TiffInfo:
         bits=int(one(_BITS, 8)), sample_format=int(one(_SFMT, 1)),
         endian=endian, compression=int(one(_COMP, 1)),
         samples_per_pixel=int(one(_SPP, 1)),
+        planar=int(one(_PLANAR, 1)), predictor=int(one(317, 1)),
     )
     if info.compression not in (1, 8, 32946):
         raise NotImplementedError(
             f"Compression={info.compression} not supported — only "
             "uncompressed (1) and Deflate (8/32946)"
         )
-    predictor = int(one(317, 1))
-    if info.compression != 1 and predictor != 1:
-        raise NotImplementedError(f"TIFF Predictor={predictor}")
-    if info.samples_per_pixel != 1:
-        raise NotImplementedError("multi-band TIFF not supported (band 1 only)")
+    if info.predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF Predictor={info.predictor}")
+    if info.predictor == 2 and info.sample_format == 3:
+        raise NotImplementedError("Predictor=2 on float samples")
+    if info.samples_per_pixel > 1:
+        bl = tags.get(_BITS, [8])
+        if isinstance(bl, list) and len(set(bl)) > 1:
+            raise NotImplementedError(f"mixed BitsPerSample {bl}")
+        if info.planar not in (1, 2):
+            raise NotImplementedError(f"PlanarConfiguration={info.planar}")
     if info.bits not in (8, 16, 32, 64):
         raise NotImplementedError(f"BitsPerSample={info.bits}")
     if _TILE_W in tags:
@@ -169,19 +194,43 @@ def read_info(path: str) -> TiffInfo:
     return info
 
 
-def _rows_bytes(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
-    """Read pixel rows [r0, r1) of a STRIP-organized file via direct
-    seeks.  Uncompressed strips are row-addressable; Deflate strips
-    (Compression 8/32946) inflate whole — still executor-local and
-    strip-parallel, the task just decodes the strips its rows span."""
+def _unpredict(a: np.ndarray, spp: int) -> np.ndarray:
+    """Undo Predictor=2 horizontal differencing: cumulative sum along
+    x, per band channel, modular in the sample's own integer width
+    (TIFF 6.0 §14 — each row restarts, so row-sliced reads stay
+    independent)."""
+    v = a.reshape(a.shape[0], -1, spp)
+    return np.cumsum(v, axis=1, dtype=v.dtype).reshape(a.shape)
+
+
+def _rows_bytes(info: TiffInfo, f, r0: int, r1: int,
+                band: int = 0) -> np.ndarray:
+    """Read pixel rows [r0, r1) of band ``band`` (0-based) of a
+    STRIP-organized file via direct seeks.  Uncompressed strips are
+    row-addressable; Deflate strips (Compression 8/32946) inflate
+    whole — still executor-local and strip-parallel, the task just
+    decodes the strips its rows span.  Multi-band: chunky
+    (PlanarConfiguration=1) rows carry all samples interleaved and are
+    sliced after decode; planar (=2) files store each band's strips as
+    an independent plane, so only that band's bytes are touched."""
     import zlib
 
-    row_bytes = info.width * info.bits // 8
-    out = np.empty((r1 - r0, info.width), dtype=info.dtype)
+    spp = info.samples_per_pixel
+    chunky = spp > 1 and info.planar == 1
+    px_per_row = info.width * (spp if chunky else 1)
+    row_bytes = px_per_row * info.bits // 8
+    strips_per_plane = (
+        (info.height + info.rows_per_strip - 1) // info.rows_per_strip
+    )
+    plane = band if (spp > 1 and info.planar == 2) else 0
+    all_bands = chunky and band is None  # one decode, all bands kept
+    out = np.empty((r1 - r0, info.width, spp) if all_bands
+                   else (r1 - r0, info.width), dtype=info.dtype)
     r = r0
     while r < r1:
-        s = r // info.rows_per_strip
-        strip_r0 = s * info.rows_per_strip
+        s_local = r // info.rows_per_strip
+        s = plane * strips_per_plane + s_local
+        strip_r0 = s_local * info.rows_per_strip
         take = min(r1, strip_r0 + info.rows_per_strip) - r
         if info.compression == 1:
             off = info.strip_offsets[s] + (r - strip_r0) * row_bytes
@@ -193,30 +242,55 @@ def _rows_bytes(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
             full = zlib.decompress(comp)
             skip = (r - strip_r0) * row_bytes
             raw = full[skip : skip + take * row_bytes]
-        out[r - r0 : r - r0 + take] = np.frombuffer(
-            raw, dtype=info.dtype
-        ).reshape(take, info.width)
+        a = np.frombuffer(raw, dtype=info.dtype).reshape(take, px_per_row)
+        if info.predictor == 2:
+            a = _unpredict(a, spp if chunky else 1)
+        if chunky:
+            a = a.reshape(take, info.width, spp)
+            if not all_bands:
+                a = a[:, :, band]
+        out[r - r0 : r - r0 + take] = a
         r += take
     return out
 
 
-def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
-    """Read pixel rows [r0, r1) of a TILE-organized file."""
+def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int,
+                     band: int = 0) -> np.ndarray:
+    """Read pixel rows [r0, r1) of band ``band`` (0-based) of a
+    TILE-organized file (chunky or planar, optional predictor)."""
     tw, th = info.tile_width, info.tile_height
+    spp = info.samples_per_pixel
+    chunky = spp > 1 and info.planar == 1
+    vals_per_tile = tw * th * (spp if chunky else 1)
     ntx = (info.width + tw - 1) // tw
-    out = np.empty((r1 - r0, info.width), dtype=info.dtype)
+    nty = (info.height + th - 1) // th
+    plane = band if (spp > 1 and info.planar == 2) else 0
+    all_bands = chunky and band is None  # one decode, all bands kept
+    out = np.empty((r1 - r0, info.width, spp) if all_bands
+                   else (r1 - r0, info.width), dtype=info.dtype)
     t0, t1 = r0 // th, (r1 - 1) // th
     import zlib
 
     for ty in range(t0, t1 + 1):
         for tx in range(ntx):
-            ti = ty * ntx + tx
+            ti = plane * (ntx * nty) + ty * ntx + tx
             f.seek(info.tile_offsets[ti])
             if info.compression == 1:
-                raw = f.read(tw * th * info.bits // 8)
+                raw = f.read(vals_per_tile * info.bits // 8)
             else:
                 raw = zlib.decompress(f.read(info.tile_byte_counts[ti]))
-            arr = np.frombuffer(raw, dtype=info.dtype).reshape(th, tw)
+            arr = np.frombuffer(raw, dtype=info.dtype)[:vals_per_tile]
+            if chunky:
+                arr = arr.reshape(th, tw * spp)
+                if info.predictor == 2:
+                    arr = _unpredict(arr, spp)
+                arr = arr.reshape(th, tw, spp)
+                if not all_bands:
+                    arr = arr[:, :, band]
+            else:
+                arr = arr.reshape(th, tw)
+                if info.predictor == 2:
+                    arr = _unpredict(arr, 1)
             y0 = max(r0, ty * th)
             y1 = min(r1, (ty + 1) * th)
             x1 = min(info.width, (tx + 1) * tw)
@@ -226,14 +300,15 @@ def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int) -> np.ndarray:
     return out
 
 
-def read_array(path: str) -> tuple[np.ndarray, TiffInfo]:
-    """Whole-raster read (driver-side; tests + small files)."""
+def read_array(path: str, band: int = 0) -> tuple[np.ndarray, TiffInfo]:
+    """Whole-raster single-band read (driver-side; tests + small
+    files).  ``band`` is 0-based."""
     info = read_info(path)
     with open(path, "rb") as f:
         if info.tiled:
-            a = _rows_from_tiles(info, f, 0, info.height)
+            a = _rows_from_tiles(info, f, 0, info.height, band)
         else:
-            a = _rows_bytes(info, f, 0, info.height)
+            a = _rows_bytes(info, f, 0, info.height, band)
     return a, info
 
 
@@ -274,31 +349,38 @@ def geotiff_tiles(
 
     def gen(batches):
         info_, path_, tile_, rid_, nd_, native_ = bc.value
+        spp = info_.samples_per_pixel
+        chunky = spp > 1 and info_.planar == 1
+        rows_fn = _rows_from_tiles if info_.tiled else _rows_bytes
         with open(path_, "rb") as f:
             for pdf in batches:
                 out = []
                 for ty in pdf["ty"]:
                     r0 = int(ty) * tile_
                     r1 = min(r0 + tile_, info_.height)
-                    if info_.tiled:
-                        band_rows = _rows_from_tiles(info_, f, r0, r1)
-                    else:
-                        band_rows = _rows_bytes(info_, f, r0, r1)
-                    if native_:
-                        # engine tile codec is little-endian
-                        a = band_rows.astype(
-                            band_rows.dtype.newbyteorder("<")
-                        )
-                    else:
-                        a = band_rows.astype("<f4")
-                    pt = f"{a.dtype.kind}{a.dtype.itemsize}"
-                    for tx in range(0, info_.width, tile_):
-                        sub = np.ascontiguousarray(a[:, tx : tx + tile_])
-                        row = (
-                            rid_, 1, int(ty), tx // tile_,
-                            sub.shape[0], sub.shape[1], nd_, sub.tobytes(),
-                        )
-                        out.append(row + (pt,) if native_ else row)
+                    if chunky:  # one decode covers every band
+                        allb = rows_fn(info_, f, r0, r1, None)
+                        per_band = [allb[:, :, b] for b in range(spp)]
+                    else:  # planar/single: each band an independent read
+                        per_band = [rows_fn(info_, f, r0, r1, b)
+                                    for b in range(spp)]
+                    for b, band_rows in enumerate(per_band):
+                        if native_:
+                            # engine tile codec is little-endian
+                            a = band_rows.astype(
+                                band_rows.dtype.newbyteorder("<")
+                            )
+                        else:
+                            a = band_rows.astype("<f4")
+                        pt = f"{a.dtype.kind}{a.dtype.itemsize}"
+                        for tx in range(0, info_.width, tile_):
+                            sub = np.ascontiguousarray(a[:, tx : tx + tile_])
+                            row = (
+                                rid_, b + 1, int(ty), tx // tile_,
+                                sub.shape[0], sub.shape[1], nd_,
+                                sub.tobytes(),
+                            )
+                            out.append(row + (pt,) if native_ else row)
                 cols = ["raster_id", "band", "tile_y", "tile_x", "height",
                         "width", "nodata", "pixels"] + (
                             ["ptype"] if native_ else [])
@@ -320,12 +402,22 @@ def write_geotiff(
     nodata: float | None = None,
     compress: str | None = None,
     dtype: str | None = None,
+    bigtiff: bool = False,
+    predictor: int = 1,
 ) -> None:
-    """Single-band little-endian GeoTIFF (strip per 64 rows),
-    optionally Deflate-compressed (``compress='deflate'`` → per-strip
-    stdlib zlib, Compression tag 8 — the most common real DEM export).
+    """Little-endian GeoTIFF writer (strip per 64 rows), optionally
+    Deflate-compressed (``compress='deflate'`` → per-strip stdlib
+    zlib, Compression tag 8 — the most common real DEM export).
     Mirrors reference Save (/root/reference/SpaRasters.py:752) for the
     formats the reader supports — lossless roundtrip without GDAL.
+
+    ``arr`` 2-D writes a single band; 3-D ``(bands, h, w)`` writes a
+    chunky (PlanarConfiguration=1) multi-band file — the GDAL band
+    stack the reference's rasters carry (SpaRasters.py:62 TheBands).
+    ``bigtiff=True`` emits the BigTIFF (magic 43) container with
+    8-byte offsets — mandatory past classic TIFF's 4 GB ceiling.
+    ``predictor=2`` applies horizontal differencing before Deflate
+    (integer samples only) — GDAL's default for compressed DEMs.
 
     ``dtype=None`` (legacy) collapses to the engine's three transport
     types: float→f4, int→i4, else u1.  ``dtype='native'`` writes the
@@ -337,6 +429,8 @@ def write_geotiff(
 
     if compress not in (None, "deflate"):
         raise ValueError(f"unsupported compress={compress!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor={predictor}")
     a = np.asarray(arr)
     if dtype is not None:
         want = a.dtype if dtype == "native" else np.dtype(dtype)
@@ -356,21 +450,35 @@ def write_geotiff(
     else:
         a = a.astype("u1")
         sfmt, bits = 1, 8
-    h, w = a.shape
+    if predictor == 2 and sfmt == 3:
+        raise ValueError("predictor=2 requires integer samples")
+    if a.ndim == 2:
+        spp = 1
+        rows_view = a  # (h, w)
+    elif a.ndim == 3:
+        spp = a.shape[0]
+        rows_view = np.ascontiguousarray(
+            np.moveaxis(a, 0, 2)
+        )  # (h, w, spp) interleaved
+    else:
+        raise ValueError(f"arr must be 2-D or (bands, h, w), got {a.shape}")
+    h, w = rows_view.shape[0], rows_view.shape[1]
     rps = 64
     n_strips = (h + rps - 1) // rps
-    row_bytes = w * bits // 8
 
-    header = 8
-    data_off = header
+    header = 16 if bigtiff else 8
     strip_offsets, strip_counts = [], []
     strip_blobs = []
-    off = data_off
+    off = header
     for s in range(n_strips):
         nrows = min(rps, h - s * rps)
-        blob = np.ascontiguousarray(
-            a[s * rps : s * rps + nrows]
-        ).tobytes()
+        chunk = np.ascontiguousarray(rows_view[s * rps : s * rps + nrows])
+        if predictor == 2:
+            v = chunk.reshape(nrows, w, spp)
+            d = v.copy()
+            d[:, 1:, :] -= v[:, :-1, :]  # wraps in the native int width
+            chunk = d
+        blob = chunk.tobytes()
         if compress == "deflate":
             blob = zlib.compress(blob, 6)
         strip_blobs.append(blob)
@@ -379,7 +487,10 @@ def write_geotiff(
         off += len(blob)
     ifd_off = off
 
-    entries = []  # (tag, type, count, value_bytes_or_int)
+    inline = 8 if bigtiff else 4
+    cfmt = "Q" if bigtiff else "I"  # count + pointer width
+    otyp = 16 if bigtiff else 4  # LONG8 vs LONG for offset arrays
+    entries = []  # (tag, type, count, value_bytes_or_ptr)
     extra = b""
     extra_off = [0]  # patched after IFD size known
 
@@ -387,8 +498,8 @@ def write_geotiff(
         nonlocal extra
         fmt = _TYPE_FMT[typ]
         raw = struct.pack("<" + fmt * cnt, *values)
-        if len(raw) <= 4:
-            entries.append((tag, typ, cnt, raw.ljust(4, b"\0")))
+        if len(raw) <= inline:
+            entries.append((tag, typ, cnt, raw.ljust(inline, b"\0")))
         else:
             entries.append((tag, typ, cnt, ("ptr", len(extra))))
             extra += raw
@@ -396,15 +507,17 @@ def write_geotiff(
 
     ent(_W, 4, 1, [w])
     ent(_H, 4, 1, [h])
-    ent(_BITS, 3, 1, [bits])
+    ent(_BITS, 3, spp, [bits] * spp)
     ent(_COMP, 3, 1, [8 if compress == "deflate" else 1])
     ent(_PHOTO, 3, 1, [1])
-    ent(_SOFF, 4, n_strips, strip_offsets)
-    ent(_SPP, 3, 1, [1])
+    ent(_SOFF, otyp, n_strips, strip_offsets)
+    ent(_SPP, 3, 1, [spp])
     ent(_RPS, 4, 1, [rps])
-    ent(_SCNT, 4, n_strips, strip_counts)
+    ent(_SCNT, otyp, n_strips, strip_counts)
     ent(_PLANAR, 3, 1, [1])
-    ent(_SFMT, 3, 1, [sfmt])
+    if predictor == 2:
+        ent(317, 3, 1, [2])
+    ent(_SFMT, 3, spp, [sfmt] * spp)
     if geotransform is not None:
         x0, pw, _, y0, _, ph = geotransform
         ent(_MODEL_SCALE, 12, 3, [abs(pw), abs(ph), 0.0])
@@ -412,24 +525,31 @@ def write_geotiff(
     if nodata is not None:
         nd = (f"{nodata:.10g}").encode("ascii") + b"\0"
         typ2 = 2
-        if len(nd) <= 4:
-            entries.append((_GDAL_NODATA, typ2, len(nd), nd.ljust(4, b"\0")))
+        if len(nd) <= inline:
+            entries.append(
+                (_GDAL_NODATA, typ2, len(nd), nd.ljust(inline, b"\0"))
+            )
         else:
             entries.append((_GDAL_NODATA, typ2, len(nd), ("ptr", len(extra))))
             extra += nd
     entries.sort(key=lambda e: e[0])
 
-    ifd_size = 2 + 12 * len(entries) + 4
+    esz = 20 if bigtiff else 12
+    ifd_size = (8 if bigtiff else 2) + esz * len(entries) + inline
     extra_off[0] = ifd_off + ifd_size
 
     with open(path, "wb") as f:
-        f.write(b"II" + struct.pack("<HI", 42, ifd_off))
+        if bigtiff:
+            f.write(b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off))
+            f.write(b"")
+        else:
+            f.write(b"II" + struct.pack("<HI", 42, ifd_off))
         for blob in strip_blobs:
             f.write(blob)
-        f.write(struct.pack("<H", len(entries)))
+        f.write(struct.pack("<Q" if bigtiff else "<H", len(entries)))
         for tag, typ, cnt, val in entries:
             if isinstance(val, tuple):
-                val = struct.pack("<I", extra_off[0] + val[1])
-            f.write(struct.pack("<HHI", tag, typ, cnt) + val)
-        f.write(struct.pack("<I", 0))  # no next IFD
+                val = struct.pack("<" + cfmt, extra_off[0] + val[1])
+            f.write(struct.pack("<HH" + cfmt, tag, typ, cnt) + val)
+        f.write(struct.pack("<" + cfmt, 0))  # no next IFD
         f.write(extra)

@@ -653,6 +653,7 @@ _FRONT = [
     "warp_stats",
     "resample_rational_stats",
     "crs_stateplane",
+    "crs_wkt",
     "resample_match_stats", "streaming_hourly", "streaming_sessions",
     "clip_bbox", "densify_counts", "simplify_counts", "split_parts",
     "hull_counts", "layer_bounds",

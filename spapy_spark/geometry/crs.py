@@ -383,7 +383,7 @@ def from_proj_dict(d: dict):
     its own Albers test, /root/reference/SpaPyTests/Tests/
     SpaReferencingTest.py:56-89, plus utm/merc/longlat shortcuts)."""
     if isinstance(d, str):
-        d = parse_proj4(d)
+        d = wkt_to_proj_dict(d) if "[" in d else parse_proj4(d)
     proj = d.get("proj")
     kw = {k: float(d[k]) for k in ("lat_1", "lat_2", "lat_0", "lon_0",
                                    "x_0", "y_0") if k in d}
@@ -452,6 +452,187 @@ _EPSG_CONICS = {
 
 
 # ---------------------------------------------------------------------------
+# WKT front-end (WKT1 / ESRI WKT / common WKT2) — the reference accepts
+# WKT strings via pyproj (/root/reference/SpaReferencing.py:128-135);
+# here the same strings route to the from-scratch kernels above.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_WKT_NAME_RE = _re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*")
+
+
+class _WktNode:
+    __slots__ = ("name", "args")
+
+    def __init__(self, name, args):
+        self.name, self.args = name, args
+
+    def children(self, *names):
+        return [a for a in self.args
+                if isinstance(a, _WktNode) and a.name in names]
+
+
+def _wkt_node(s: str, i: int):
+    m = _WKT_NAME_RE.match(s, i)
+    if not m or m.end() >= len(s) or s[m.end()] not in "[(":
+        raise ValueError(f"bad WKT at offset {i}")
+    name, i = m.group(1), m.end() + 1
+    args = []
+    while True:
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if i >= len(s):
+            raise ValueError("unterminated WKT")
+        c = s[i]
+        if c in ")]":  # empty node / trailing close
+            i += 1
+            break
+        if c == '"':
+            j = s.index('"', i + 1)
+            args.append(s[i + 1:j])
+            i = j + 1
+        else:
+            m2 = _WKT_NAME_RE.match(s, i)
+            if m2 and m2.end() < len(s) and s[m2.end()] in "[(":
+                child, i = _wkt_node(s, i)
+                args.append(child)
+            else:
+                j = i
+                while s[j] not in ",)]":
+                    j += 1
+                tok = s[i:j].strip()
+                i = j
+                try:
+                    args.append(float(tok))
+                except ValueError:
+                    args.append(tok)
+        while i < len(s) and s[i].isspace():
+            i += 1
+        if s[i] == ",":
+            i += 1
+            continue
+        if s[i] in ")]":
+            i += 1
+            break
+    return _WktNode(name.upper(), args), i
+
+
+def _pnorm(s: str) -> str:
+    return _re.sub(r"[^a-z0-9]", "", str(s).lower())
+
+
+# projection-method → kernel family (WKT1 and WKT2 spellings)
+_WKT_METHODS = {
+    "transversemercator": "tmerc",
+    "gausskruger": "tmerc",
+    "lambertconformalconic2sp": "lcc",
+    "lambertconicconformal2sp": "lcc",
+    "lambertconformalconic": "lcc",
+    "albersconicequalarea": "aea",
+    "albersequalarea": "aea",
+    "albers": "aea",
+    "mercator1sp": "webmerc",
+    "mercatorvarianta": "webmerc",
+    "popularvisualisationpseudomercator": "webmerc",
+    "mercatorauxiliarysphere": "webmerc",
+}
+
+# parameter-name → proj key (WKT1 and WKT2 spellings)
+_WKT_PARAMS = {
+    "standardparallel1": "lat_1",
+    "latitudeof1ststandardparallel": "lat_1",
+    "standardparallel2": "lat_2",
+    "latitudeof2ndstandardparallel": "lat_2",
+    "latitudeoforigin": "lat_0",
+    "latitudeofcenter": "lat_0",
+    "latitudeoffalseorigin": "lat_0",
+    "latitudeofnaturalorigin": "lat_0",
+    "centralmeridian": "lon_0",
+    "longitudeofcenter": "lon_0",
+    "longitudeoffalseorigin": "lon_0",
+    "longitudeofnaturalorigin": "lon_0",
+    "scalefactor": "k",
+    "scalefactoratnaturalorigin": "k",
+    "falseeasting": "x_0",
+    "eastingatfalseorigin": "x_0",
+    "falsenorthing": "y_0",
+    "northingatfalseorigin": "y_0",
+}
+
+_GEOG_NAMES = ("GEOGCS", "GEOGCRS", "GEODCRS", "GEOGRAPHICCRS",
+               "BASEGEOGCRS", "BASEGEODCRS")
+
+
+def _wkt_walk(node):
+    yield node
+    for a in node.args:
+        if isinstance(a, _WktNode):
+            yield from _wkt_walk(a)
+
+
+def wkt_to_proj_dict(s: str) -> dict:
+    """WKT CRS string → proj-style dict routed to the engine's kernel
+    families.  Handles WKT1/ESRI (PROJCS/PROJECTION/PARAMETER/UNIT)
+    and common WKT2 (PROJCRS/CONVERSION/METHOD, LENGTHUNIT).  WKT
+    false origins are expressed in the CRS's own linear unit and are
+    converted to meters here (proj x_0/y_0 semantics); non-meter units
+    become ``to_meter`` so outputs publish in the CRS unit.  Ellipsoids
+    other than WGS84/GRS80 raise rather than misproject (NAD27/Clarke
+    1866 would be off by hundreds of meters)."""
+    root, _ = _wkt_node(s, 0)
+    if root.name in _GEOG_NAMES:
+        return {"proj": "longlat"}
+    if root.name not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
+        raise ValueError(f"unsupported WKT root {root.name}")
+    for n in _wkt_walk(root):
+        if n.name in ("SPHEROID", "ELLIPSOID"):
+            a_axis = next(v for v in n.args if isinstance(v, float))
+            if abs(a_axis - 6378137.0) > 1.0:
+                raise ValueError(
+                    f"unsupported ellipsoid a={a_axis} (WGS84/GRS80 only)"
+                )
+            break
+    proj_nodes = root.children("PROJECTION")
+    if proj_nodes:  # WKT1: PROJECTION + flat PARAMETERs under PROJCS
+        method, scope = proj_nodes[0].args[0], root
+    else:  # WKT2: CONVERSION[ "...", METHOD[...], PARAMETER... ]
+        conv = root.children("CONVERSION")
+        if not conv:
+            raise ValueError("WKT has neither PROJECTION nor CONVERSION")
+        meth = conv[0].children("METHOD")
+        if not meth:
+            raise ValueError("WKT CONVERSION lacks METHOD")
+        method, scope = meth[0].args[0], conv[0]
+    key = _pnorm(method)
+    if key not in _WKT_METHODS:
+        raise ValueError(f"unsupported WKT projection {method!r}")
+    d: dict = {"proj": _WKT_METHODS[key]}
+    for p in scope.children("PARAMETER"):
+        pk = _WKT_PARAMS.get(_pnorm(p.args[0]))
+        if pk is not None:
+            d[pk] = next(v for v in p.args[1:] if isinstance(v, float))
+    # linear unit: WKT1 = UNIT directly under PROJCS; WKT2 = LENGTHUNIT
+    # anywhere outside the base geographic CRS (axes/params agree)
+    unit = 1.0
+    unit_nodes = [u for u in root.children("UNIT")]
+    if not unit_nodes:
+        for n in root.args:
+            if isinstance(n, _WktNode) and n.name not in _GEOG_NAMES:
+                unit_nodes.extend(
+                    u for u in _wkt_walk(n) if u.name == "LENGTHUNIT"
+                )
+    if unit_nodes:
+        unit = float(next(v for v in unit_nodes[0].args
+                          if isinstance(v, float)))
+    if unit != 1.0:
+        d["x_0"] = d.get("x_0", 0.0) * unit  # WKT false origins are in
+        d["y_0"] = d.get("y_0", 0.0) * unit  # CRS units; proj wants m
+        d["to_meter"] = unit
+    return d
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + DataFrame operator
 # ---------------------------------------------------------------------------
 
@@ -472,6 +653,8 @@ def transform_arrays(x, y, src, dst):
             spec = f"epsg:{spec}"
         if spec.lstrip().startswith("+"):
             return parse_proj4(spec)
+        if "[" in spec:  # WKT1 / WKT2 string
+            return wkt_to_proj_dict(spec)
         s = spec.lower()
         if s in _EPSG_CONICS:
             return _EPSG_CONICS[s]

@@ -333,3 +333,99 @@ class TestStatePlane:
         x, y = crs.transform_arrays([3.0], [46.5], "epsg:4326", "epsg:2154")
         assert x[0] == pytest.approx(700000.0, abs=1e-6)
         assert y[0] == pytest.approx(6600000.0, abs=0.5)
+
+
+class TestWkt:
+    """WKT1/WKT2 front-end → same kernels as the dict/EPSG paths
+    (reference WKT surface via pyproj,
+    /root/reference/SpaReferencing.py:128-135)."""
+
+    WKT_2263 = (
+        'PROJCS["NAD83 / New York Long Island (ftUS)",'
+        'GEOGCS["NAD83",DATUM["North_American_Datum_1983",'
+        'SPHEROID["GRS 1980",6378137,298.257222101]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+        'PARAMETER["standard_parallel_1",41.03333333333333],'
+        'PARAMETER["standard_parallel_2",40.66666666666666],'
+        'PARAMETER["latitude_of_origin",40.16666666666666],'
+        'PARAMETER["central_meridian",-74],'
+        'PARAMETER["false_easting",984250.0000000002],'
+        'PARAMETER["false_northing",0],'
+        'UNIT["US survey foot",0.3048006096012192],'
+        'AUTHORITY["EPSG","2263"]]'
+    )
+    WKT2_UTM33 = (
+        'PROJCRS["WGS 84 / UTM zone 33N",'
+        'BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+        'ELLIPSOID["WGS 84",6378137,298.257223563,'
+        'LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],'
+        'CONVERSION["UTM zone 33N",'
+        'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+        'PARAMETER["Latitude of natural origin",0,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Longitude of natural origin",15,'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'PARAMETER["Scale factor at natural origin",0.9996,'
+        'SCALEUNIT["unity",1]],'
+        'PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],'
+        'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+        'CS[Cartesian,2],'
+        'AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
+        'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],'
+        'ID["EPSG",32633]]'
+    )
+
+    def test_wkt1_stateplane_matches_epsg_table(self):
+        lon = np.array([-74.2, -73.6, -73.9])
+        lat = np.array([40.5, 40.9, 40.7])
+        x1, y1 = crs.transform_arrays(lon, lat, "epsg:4326", "epsg:2263")
+        x2, y2 = crs.transform_arrays(lon, lat, "epsg:4326", self.WKT_2263)
+        # only the false easting's last ulp differs (ft vs stored m)
+        np.testing.assert_allclose(x1, x2, atol=1e-9)
+        np.testing.assert_allclose(y1, y2, atol=1e-9)
+
+    def test_wkt2_utm_matches_karney(self):
+        lon = np.array([14.2, 15.9, 16.5])
+        lat = np.array([48.2, 50.1, 41.0])
+        xa, ya = crs.transform_arrays(lon, lat, "epsg:4326", "epsg:32633")
+        xb, yb = crs.transform_arrays(lon, lat, "epsg:4326", self.WKT2_UTM33)
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+    def test_wkt_inverse_roundtrip(self):
+        lon = np.array([-74.2, -73.6, -73.9])
+        lat = np.array([40.5, 40.9, 40.7])
+        x, y = crs.transform_arrays(lon, lat, "epsg:4326", self.WKT_2263)
+        lo, la = crs.transform_arrays(x, y, self.WKT_2263, "epsg:4326")
+        np.testing.assert_allclose(lo, lon, atol=1e-12)
+        np.testing.assert_allclose(la, lat, atol=1e-12)
+
+    def test_geogcs_is_lonlat_passthrough(self):
+        wkt = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+               '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]]')
+        lon = np.array([-74.2]); lat = np.array([40.5])
+        xg, yg = crs.transform_arrays(lon, lat, wkt, "epsg:3857")
+        xr, yr = crs.transform_arrays(lon, lat, "epsg:4326", "epsg:3857")
+        np.testing.assert_array_equal(xg, xr)
+        np.testing.assert_array_equal(yg, yr)
+
+    def test_foreign_ellipsoid_rejected(self):
+        bad = self.WKT_2263.replace(
+            'SPHEROID["GRS 1980",6378137,298.257222101]',
+            'SPHEROID["Clarke 1866",6378206.4,294.978698213898]')
+        with pytest.raises(ValueError, match="ellipsoid"):
+            crs.transform_arrays([-74.0], [40.5], "epsg:4326", bad)
+
+    def test_unknown_projection_rejected(self):
+        bad = self.WKT_2263.replace(
+            "Lambert_Conformal_Conic_2SP", "Krovak")
+        with pytest.raises(ValueError, match="projection"):
+            crs.transform_arrays([-74.0], [40.5], "epsg:4326", bad)
+
+    def test_wkt_units_scale_false_origin(self):
+        d = crs.wkt_to_proj_dict(self.WKT_2263)
+        assert d["proj"] == "lcc"
+        assert d["to_meter"] == pytest.approx(1200.0 / 3937.0, rel=1e-12)
+        assert d["x_0"] == pytest.approx(300000.0, abs=1e-4)

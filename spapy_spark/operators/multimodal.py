@@ -2,11 +2,14 @@
 
 Media ride as opaque ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` transforms.  ``decode_image`` with ``fake=False``
-decodes REAL PNG payloads via the from-scratch codec in
-sources/png.py (stdlib zlib + numpy — no PIL); ``fake=True`` keeps a
-deterministic byte-tiling stand-in for synthetic pipelines.  Other
-containers (JPEG, ffmpeg video) would slot into the same seam.
+``mapInPandas`` transforms.  With ``fake=False`` every modality
+decodes REAL payloads through from-scratch codecs (no PIL/ffmpeg/
+soundfile): PNG (sources/png.py), baseline JPEG (sources/jpeg.py),
+RIFF/WAVE audio (sources/wav.py), and YUV4MPEG2 video
+(sources/y4m.py), dispatched on the container signature.
+``fake=True`` keeps a deterministic byte-tiling stand-in for
+synthetic pipelines.  Compressed video (H.264 …) is the one
+remaining seam — it needs a real decoder stack by design.
 
 Schema conventions:
 
@@ -79,6 +82,11 @@ def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
             from ..sources import png
 
             img = png.decode_png(payload)
+        elif payload[:9] == b"YUV4MPEG2":
+            from ..sources import y4m
+
+            _, frames = y4m.decode_y4m(payload, limit=1)
+            img = y4m.yuv_to_rgb(*frames[0])
         elif payload[:4] in (b"GIF8", b"RIFF") or payload[:2] == b"BM":
             raise NotImplementedError(
                 f"unsupported image container (magic {payload[:4]!r})"
@@ -93,6 +101,82 @@ def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
     return _fake_decode(
         payload, meta["width"], meta["height"], meta["channels"]
     )
+
+
+def decode_audio(payload: bytes, meta: dict,
+                 fake: bool = True) -> tuple[np.ndarray, int]:
+    """Decode one audio payload → ((n, channels) samples, sample_rate).
+
+    ``fake=False`` decodes REAL RIFF/WAVE bytes through the
+    from-scratch codec (sources/wav.py — PCM 8/16/24/32 + IEEE float);
+    ``fake=True`` tiles the payload bytes into a deterministic mono
+    signal, mirroring ``_fake_decode`` for images."""
+    if not fake:
+        from ..sources import wav
+
+        return wav.decode_wav(bytes(payload))
+    raw = np.frombuffer(bytes(payload), np.uint8)
+    if len(raw) == 0:
+        raw = np.zeros(1, np.uint8)
+    return raw[:, None], int(meta.get("sample_rate") or 16000)
+
+
+def _to_unit_float(x: np.ndarray) -> np.ndarray:
+    """Samples of any supported dtype → float64 in [-1, 1]."""
+    k, sz = x.dtype.kind, x.dtype.itemsize
+    x = x.astype(np.float64)
+    if k == "u":
+        return (x - 128.0) / 128.0
+    if k == "i":
+        return x / float(1 << (8 * sz - 1))
+    return x
+
+
+def audio_features(
+    df: DataFrame,
+    n_bands: int = 8,
+    payload: str = "payload",
+    meta: str = "meta",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Per-clip feature vector: [duration_sec, rms, peak,
+    zero_crossing_rate] + ``n_bands`` equal-width spectral-energy
+    fractions (rfft power, L1-normalized) — the audio analog of
+    ``image_features``.  Channels are averaged to mono first."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("features", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for p, m in zip(pdf[payload], pdf[meta]):
+                samples, rate = decode_audio(bytes(p), _md(m), fake=fake)
+                x = _to_unit_float(samples).mean(axis=1)
+                n = len(x)
+                dur = n / float(rate)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                peak = float(np.abs(x).max()) if n else 0.0
+                sgn = np.signbit(x)
+                zcr = float(np.mean(sgn[1:] != sgn[:-1])) if n > 1 else 0.0
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                edges = np.linspace(0, len(spec), n_bands + 1).astype(int)
+                bands = np.add.reduceat(spec, edges[:-1])
+                tot = bands.sum()
+                bands = bands / tot if tot > 0 else bands
+                feats.append(
+                    np.concatenate([[dur, rms, peak, zcr], bands])
+                    .astype(np.float32).tolist()
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def image_features(
@@ -211,8 +295,11 @@ def frame_sample(
 ) -> DataFrame:
     """Video → sampled frame rows (media_id, frame_idx, payload, meta).
 
-    The fake decoder treats the payload as n_frames stacked images;
-    a real ffmpeg seam replaces ``decode_image`` per frame.
+    ``fake=False`` parses REAL YUV4MPEG2 payloads (sources/y4m.py):
+    skipped frames are seeked over by size, kept frames re-emit as
+    single-frame Y4M payloads that ``decode_image`` (and therefore
+    ``image_features``/``resize_images``) accept directly.  The fake
+    path treats the payload as n_frames equal byte slices.
     """
     out_schema = StructType(
         [
@@ -222,6 +309,30 @@ def frame_sample(
             StructField(meta, df.schema[meta].dataType, False),
         ]
     )
+
+    def run_real(batches):
+        from ..sources import y4m
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fidxs, pls, metas = [], [], [], []
+            for mid, p, m in zip(pdf[id_col], pdf[payload], pdf[meta]):
+                params, frames = y4m.decode_y4m(bytes(p), every_n=every_n)
+                md = _md(m)
+                for k, fr in enumerate(frames):
+                    ids.append(mid)
+                    fidxs.append(k * every_n)
+                    pls.append(y4m.encode_y4m(
+                        [fr], fps=params["fps"] or 25.0,
+                        colorspace=params["colorspace"]))
+                    metas.append(dict(
+                        md, width=params["width"], height=params["height"],
+                        n_frames=1))
+            yield pd.DataFrame({
+                id_col: ids, "frame_idx": np.array(fidxs, np.int32),
+                payload: pls, meta: metas,
+            })
 
     def run(batches):
         for pdf in batches:
@@ -253,7 +364,7 @@ def frame_sample(
                 }
             )
 
-    return df.mapInPandas(run, schema=out_schema)
+    return df.mapInPandas(run if fake else run_real, schema=out_schema)
 
 
 def synth_media(
@@ -263,14 +374,43 @@ def synth_media(
     """Deterministic media table for tests.  ``codec`` selects REAL
     payloads for the ``fake=False`` decode path: ``"png"`` (from-
     scratch encoder, one filter type per row cycled 0..4), ``"jpeg"``
-    (baseline, 4:4:4/4:2:0 alternating), or ``"mixed"`` (PNG/JPEG
-    alternating — exercises the signature dispatch).  ``png=True`` is
-    the pre-JPEG spelling of ``codec="png"``."""
+    (baseline, 4:4:4/4:2:0 alternating), ``"mixed"`` (PNG/JPEG
+    alternating — exercises the signature dispatch), ``"wav"`` (RIFF
+    PCM int16, deterministic sine mixes), or ``"y4m"`` (YUV4MPEG2
+    C420, deterministic planes).  ``png=True`` is the pre-JPEG
+    spelling of ``codec="png"``."""
     if codec is None and png:
         codec = "png"
     rows = []
     for i in range(n):
         w, h, c = 32 + (i % 3) * 16, 24 + (i % 2) * 8, 3
+        if codec == "wav":
+            from ..sources import wav as _wav
+
+            rate = 8000
+            t = np.arange(rate // 4 + i * 100, dtype=np.float64)
+            x = 0.5 * np.sin(2 * np.pi * (220.0 + 55.0 * (i % 4)) * t
+                             / rate)
+            payload = _wav.encode_wav(
+                np.round(x * 32767.0).astype(np.int16), rate)
+            rows.append((i, "audio", payload, (0, 0, 1, rate, 1)))
+            continue
+        if codec == "y4m":
+            from ..sources import y4m as _y4m
+
+            nf = 12 + (i % 3)
+            frames = []
+            yy, xx = np.mgrid[0:h, 0:w]
+            for fr in range(nf):
+                y = ((xx * (i + 3) + yy + fr * 7) % 256).astype(np.uint8)
+                u = np.full((h // 2, w // 2), (fr * 11 + i) % 256,
+                            np.uint8)
+                v = np.full((h // 2, w // 2), (fr * 5 + 2 * i) % 256,
+                            np.uint8)
+                frames.append((y, u, v))
+            payload = _y4m.encode_y4m(frames, fps=25.0)
+            rows.append((i, "video", payload, (w, h, 3, 0, nf)))
+            continue
         if codec is not None:
             yy, xx = np.mgrid[0:h, 0:w]
             img = np.stack(

@@ -5,11 +5,12 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` transforms.  With ``fake=False`` every modality
 decodes REAL payloads through from-scratch codecs (no PIL/ffmpeg/
 soundfile): PNG (sources/png.py), baseline JPEG (sources/jpeg.py),
-RIFF/WAVE audio (sources/wav.py), and YUV4MPEG2 video
-(sources/y4m.py), dispatched on the container signature.
-``fake=True`` keeps a deterministic byte-tiling stand-in for
-synthetic pipelines.  Compressed video (H.264 …) is the one
-remaining seam — it needs a real decoder stack by design.
+GIF (sources/gif.py), BMP (sources/bmp.py), RIFF/WAVE audio
+(sources/wav.py), and YUV4MPEG2 video (sources/y4m.py), dispatched
+on the container signature.  ``fake=True`` keeps a deterministic
+byte-tiling stand-in for synthetic pipelines.  WebP and compressed
+video (H.264 …) are the remaining seams — each needs a real
+VP8/H.264 decoder stack by design.
 
 Schema conventions:
 
@@ -66,11 +67,13 @@ def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
 
     ``fake=False`` decodes REAL payloads through the from-scratch
     codecs, dispatched on the container signature: PNG
-    (sources/png.py — stdlib zlib + numpy, all five filter types) and
+    (sources/png.py — stdlib zlib + numpy, all five filter types),
     baseline JPEG (sources/jpeg.py — Huffman + IDCT + YCbCr, 4:4:4 /
-    4:2:0); other containers (video etc.) would slot in here.
-    ``fake=True`` keeps the deterministic byte-tiling stand-in for
-    synthetic pipelines/tests that don't carry encoded payloads.
+    4:2:0), GIF (sources/gif.py — LZW + palettes, first composed
+    frame), BMP (sources/bmp.py — BI_RGB 8/24/32-bit), and 1-frame
+    YUV4MPEG2 (sources/y4m.py — BT.601 → RGB).  ``fake=True`` keeps
+    the deterministic byte-tiling stand-in for synthetic
+    pipelines/tests that don't carry encoded payloads.
     """
     if not fake:
         payload = bytes(payload)
@@ -87,9 +90,18 @@ def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
 
             _, frames = y4m.decode_y4m(payload, limit=1)
             img = y4m.yuv_to_rgb(*frames[0])
-        elif payload[:4] in (b"GIF8", b"RIFF") or payload[:2] == b"BM":
+        elif payload[:4] == b"GIF8":
+            from ..sources import gif
+
+            _, frames = gif.decode_gif(payload, limit=1)
+            img = frames[0]
+        elif payload[:2] == b"BM":
+            from ..sources import bmp
+
+            img = bmp.decode_bmp(payload)
+        elif payload[:4] == b"RIFF":
             raise NotImplementedError(
-                f"unsupported image container (magic {payload[:4]!r})"
+                "RIFF image (WebP) needs a VP8 decoder stack"
             )
         else:
             raise ValueError(f"not an image payload ({payload[:4]!r})")

@@ -1523,6 +1523,151 @@ def _crs_stateplane_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal — audio/video codec roundtrips under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize integer-exact sawtooth clips IN EXECUTORS, encode
+    each as real RIFF/WAVE bytes with the from-scratch writer
+    (sources/wav.py), decode back, reduce to per-clip integer stats.
+    The dtype cycles u8/i16/i32 and the channel count 1/2 — any byte
+    slip in header layout, interleave, or sample width breaks the
+    exact sums.  The oracle recomputes the sawtooth closed form
+    (every value and sum is an exact int64 in both engines).  The
+    reference has no audio path; this serves the multimodal-pipeline
+    mandate alongside geotiff_roundtrip's pattern."""
+    from .sources import wav as _wav
+
+    out_schema = (
+        "media_id int, bits int, channels int, rate int,"
+        " n_frames long, sum_val long, min_val long, max_val long"
+    )
+    ids = spark.range(48).select(
+        F.col("id").cast("int").alias("media_id")
+    ).repartition(8)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                n = 1000 + 10 * i
+                t = np.arange(n, dtype=np.int64)
+                m = t * (2 * i + 3) + 7 * i
+                sel = i % 3
+                if sel == 0:
+                    v, bits = (m % 256).astype(np.uint8), 8
+                elif sel == 1:
+                    v, bits = ((m % 65536) - 32768).astype(np.int16), 16
+                else:
+                    v = (((m * 1234567) % 4294967296)
+                         - 2147483648).astype(np.int32)
+                    bits = 32
+                ch = 1 + (i % 2)
+                payload = _wav.encode_wav(
+                    v.reshape(-1, ch), 8000 + 100 * (i % 5))
+                dec, rate = _wav.decode_wav(payload)
+                a = dec.astype(np.int64)
+                rows.append((i, bits, dec.shape[1], rate, dec.shape[0],
+                             int(a.sum()), int(a.min()), int(a.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "bits", "channels", "rate", "n_frames",
+                "sum_val", "min_val", "max_val"])
+
+    return ids.mapInPandas(run, out_schema).orderBy("media_id")
+
+
+def _wav_oracle_sql() -> str:
+    return (
+        "WITH ids AS (SELECT CAST(i AS INTEGER) AS i"
+        " FROM generate_series(0, 47) t(i)),"
+        " s AS (SELECT i, t, t * (2*i + 3) + 7*i AS m FROM ids"
+        " CROSS JOIN generate_series(0, 1469) g(t)"
+        " WHERE t < 1000 + 10*i),"
+        " v AS (SELECT i, CASE i % 3 WHEN 0 THEN m % 256"
+        " WHEN 1 THEN (m % 65536) - 32768"
+        " ELSE ((m * 1234567) % 4294967296) - 2147483648 END AS val"
+        " FROM s)"
+        " SELECT i AS media_id,"
+        " CAST(CASE i % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END"
+        " AS INTEGER) AS bits,"
+        " CAST(1 + (i % 2) AS INTEGER) AS channels,"
+        " CAST(8000 + 100 * (i % 5) AS INTEGER) AS rate,"
+        " CAST((1000 + 10*i) // (1 + (i % 2)) AS BIGINT) AS n_frames,"
+        " CAST(sum(val) AS BIGINT) AS sum_val,"
+        " CAST(min(val) AS BIGINT) AS min_val,"
+        " CAST(max(val) AS BIGINT) AS max_val"
+        " FROM v GROUP BY i ORDER BY media_id"
+    )
+
+
+def q_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Y4M clips → REAL frame_sample (every 5th frame,
+    seek-past-skipped decode, re-encoded 1-frame payloads) → per-frame
+    plane sums decoded FROM THE RE-ENCODED payloads.  The oracle
+    recomputes the synthesis closed form per kept frame, so a bug in
+    either direction of the Y4M codec or in the sampling arithmetic
+    breaks the exact sums (operator: multimodal.frame_sample;
+    reference has no video path — multimodal-pipeline mandate)."""
+    from .operators import multimodal as mm
+    from .sources import y4m as _y4m
+
+    vids = mm.synth_media(spark, n=12, codec="y4m")
+    frames = mm.frame_sample(vids, every_n=5, fake=False)
+    out_schema = (
+        "media_id long, frame_idx int, w int, h int,"
+        " y_sum long, u_sum long, v_sum long"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, fi, p in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                params, fr = _y4m.decode_y4m(bytes(p))
+                y, u, v = fr[0]
+                rows.append((
+                    int(mid), int(fi), params["width"], params["height"],
+                    int(y.astype(np.int64).sum()),
+                    int(u.astype(np.int64).sum()),
+                    int(v.astype(np.int64).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "w", "h", "y_sum", "u_sum",
+                "v_sum"])
+
+    return frames.mapInPandas(run, out_schema).orderBy(
+        "media_id", "frame_idx")
+
+
+def _y4m_oracle_sql() -> str:
+    return (
+        "WITH ids AS (SELECT i, 32 + (i % 3) * 16 AS w,"
+        " 24 + (i % 2) * 8 AS h, 12 + (i % 3) AS nf"
+        " FROM generate_series(0, 11) t(i)),"
+        " fr AS (SELECT i, w, h, f FROM ids"
+        " CROSS JOIN generate_series(0, 14) g(f)"
+        " WHERE f % 5 = 0 AND f < nf),"
+        " ys AS (SELECT i, f, w, h,"
+        " sum((xx * (i + 3) + yy + f * 7) % 256) AS y_sum"
+        " FROM fr CROSS JOIN generate_series(0, 63) a(xx)"
+        " CROSS JOIN generate_series(0, 31) b(yy)"
+        " WHERE xx < w AND yy < h GROUP BY i, f, w, h)"
+        " SELECT CAST(i AS BIGINT) AS media_id,"
+        " CAST(f AS INTEGER) AS frame_idx,"
+        " CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,"
+        " CAST(y_sum AS BIGINT) AS y_sum,"
+        " CAST((w // 2) * (h // 2) * ((f * 11 + i) % 256) AS BIGINT)"
+        " AS u_sum,"
+        " CAST((w // 2) * (h // 2) * ((f * 5 + 2 * i) % 256) AS BIGINT)"
+        " AS v_sum"
+        " FROM ys ORDER BY media_id, frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1558,6 +1703,8 @@ def build_queries() -> dict:
         "split_parts": q_split_parts,
         "hull_counts": q_hull_counts,
         "layer_bounds": q_layer_bounds,
+        "wav_roundtrip": q_wav_roundtrip,
+        "y4m_frames": q_y4m_frames,
     }
 
 
@@ -1592,4 +1739,6 @@ def build_oracle_sql() -> dict:
         "split_parts": _split_parts_oracle_sql(),
         "hull_counts": _simplify_oracle_sql(),
         "layer_bounds": _layer_bounds_oracle_sql(),
+        "wav_roundtrip": _wav_oracle_sql(),
+        "y4m_frames": _y4m_oracle_sql(),
     }

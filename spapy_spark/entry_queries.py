@@ -433,6 +433,25 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup ladder's embedding rung).
+
+    The fixture has no true duplicates (max pairwise cosine ≈ 0.51),
+    so the dyadic threshold 0.4375 exercises the ≥-threshold pair
+    predicate with a non-trivial result; the LSH-bucketed production
+    twin (dedup.embedding_near_dup_pairs) answers the same predicate
+    at scale and is recall-tested in tests/test_dedup_ann_text.py.
+    Capped at vec_id < 500 so the all-pairs verify stays bounded at
+    every sf (sf0.1 carries 2000 vectors).
+    """
+    from .operators import dedup
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    return dedup.embedding_near_dup_exact(emb, threshold=0.4375).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ann
 
@@ -621,6 +640,36 @@ def _ann_oracle_sql() -> str:
     )
 
 
+def _dedup_embedding_oracle_sql() -> str:
+    # mirrors _ann_oracle_sql's decimal-exact dot/norm pattern over the
+    # capped (vec_id < 500) all-pairs space; 0.4375 = 7/16 is dyadic so
+    # both engines parse the literal to the identical double.
+    return (
+        "WITH v AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE vec_id < 500),"
+        " dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        " CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) *"
+        " CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)"
+        " AS dot"
+        " FROM v a CROSS JOIN v b"
+        " CROSS JOIN unnest(generate_series(1, len(a.embedding))) AS t(i)"
+        " WHERE a.vec_id < b.vec_id"
+        " GROUP BY a.vec_id, b.vec_id),"
+        " norms AS (SELECT vec_id,"
+        " sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) *"
+        " CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE))"
+        " AS norm"
+        " FROM v CROSS JOIN"
+        " unnest(generate_series(1, len(embedding))) AS t(i)"
+        " GROUP BY vec_id)"
+        " SELECT d.id_a, d.id_b, d.dot / (na.norm * nb.norm) AS cosine"
+        " FROM dots d JOIN norms na ON na.vec_id = d.id_a"
+        " JOIN norms nb ON nb.vec_id = d.id_b"
+        " WHERE d.dot / (na.norm * nb.norm) >= 0.4375"
+        " ORDER BY d.id_a, d.id_b"
+    )
+
+
 def _raster_sample_oracle_sql() -> str:
     # mirrors q_raster_sample's derivation + the engine's pixel math:
     # px = floor((lon - x0)/pw), py = floor((lat - y0)/ph); value =
@@ -648,6 +697,9 @@ def _raster_sample_oracle_sql() -> str:
 # r1 and are trivially re-verifiable plain SQL — if a cap drops rows,
 # it drops the ones with the longest green history.
 _FRONT = [
+    "dedup_embedding",
+    "wav_roundtrip",
+    "y4m_frames",
     "multiband_stats",
     "dtype_zoo_stats",
     "warp_stats",
@@ -696,6 +748,7 @@ def _base_queries() -> dict:
         "minhash_sigs": q_minhash_sigs,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_embedding": q_dedup_embedding,
         "ann_cosine": q_ann_cosine,
         "raster_sample": q_raster_sample,
         "events_sessions": q_events_sessions,
@@ -843,6 +896,7 @@ def _base_oracle_sql() -> dict:
         "minhash_sigs": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "jaccard_pairs": _jaccard_oracle_sql(),
+        "dedup_embedding": _dedup_embedding_oracle_sql(),
         "ann_cosine": _ann_oracle_sql(),
         "raster_sample": _raster_sample_oracle_sql(),
         "events_sessions": _SESSIONS_SQL,

@@ -238,6 +238,53 @@ def embedding_near_dup_pairs(
     return out.select("id_a", "id_b", "cosine")
 
 
+def embedding_near_dup_exact(
+    vectors,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Brute-force embedding-cosine near-dup pairs, decimal-exact.
+
+    The oracle twin of :func:`embedding_near_dup_pairs` (which buckets
+    by hyperplane LSH at scale): every (id_a < id_b) pair whose cosine
+    ≥ ``threshold``.  Dot products and norms go through DECIMAL(28,12)
+    sums so the result is bit-reproducible across engines regardless
+    of aggregation order — same contract as ``ann.cosine_topk``.
+    Candidate space is all-pairs; callers bound the input (the contract
+    row caps at 500 vectors) or use the LSH variant beyond test scale.
+    """
+    from .ann import _norms
+
+    ea = vectors.select(
+        F.col(id_col).alias("id_a"), F.posexplode(vec_col).alias("pos", "va")
+    )
+    eb = vectors.select(
+        F.col(id_col).alias("id_b"), F.posexplode(vec_col).alias("pos", "vb")
+    )
+    dots = (
+        ea.join(eb, "pos")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.col("va").cast("double") * F.col("vb").cast("double"))
+                .cast("decimal(28,12)")
+            ).cast("double").alias("dot")
+        )
+    )
+    na = _norms(vectors, id_col, vec_col).select(
+        F.col(id_col).alias("id_a"), F.col("norm").alias("na"))
+    nb = _norms(vectors, id_col, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def simhash(
     df: DataFrame,
     bits: int = 16,

@@ -124,6 +124,29 @@ def test_text_ops(spark, docs):
     assert len({r["text_sha"] for r in sha if r["doc_id"] < 20}) == 1
 
 
+def test_embedding_near_dup_exact(spark):
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in arr[i]]) for i in range(len(arr))],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.embedding_near_dup_exact(df, threshold=0.25).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    # numpy brute-force oracle
+    V = arr.astype(np.float64)
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = n @ n.T
+    expect = {
+        (a, b): C[a, b]
+        for a in range(40) for b in range(a + 1, 40)
+        if C[a, b] >= 0.25
+    }
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9
+
+
 def test_embedding_near_dup_pairs(spark):
     rng = np.random.default_rng(21)
     base = rng.normal(size=(30, 16))

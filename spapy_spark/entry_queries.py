@@ -697,6 +697,13 @@ def _raster_sample_oracle_sql() -> str:
 # r1 and are trivially re-verifiable plain SQL — if a cap drops rows,
 # it drops the ones with the longest green history.
 _FRONT = [
+    "web_html_extract",
+    "web_pii_redact",
+    "web_url_canonical",
+    "web_domain_stats",
+    "web_doc_chunks",
+    "web_tfidf_top",
+    "web_geohash_tiles",
     "dedup_embedding",
     "wav_roundtrip",
     "y4m_frames",
@@ -758,17 +765,22 @@ def _base_queries() -> dict:
 
 
 def _round2_queries() -> dict:
-    from . import entry_queries2, entry_queries3
+    from . import entry_queries2, entry_queries3, entry_queries4
 
-    return {**entry_queries2.build_queries(), **entry_queries3.build_queries()}
+    return {
+        **entry_queries2.build_queries(),
+        **entry_queries3.build_queries(),
+        **entry_queries4.build_queries(),
+    }
 
 
 def _round2_oracles() -> dict:
-    from . import entry_queries2, entry_queries3
+    from . import entry_queries2, entry_queries3, entry_queries4
 
     return {
         **entry_queries2.build_oracle_sql(),
         **entry_queries3.build_oracle_sql(),
+        **entry_queries4.build_oracle_sql(),
     }
 
 

@@ -1,0 +1,360 @@
+"""Round-4 contract queries: the web-text pipeline surface.
+
+Each Spark query (operators/web.py — pure Catalyst) has a bit-exact
+DuckDB oracle.  The documents table is word-salad text, so the
+web-shaped inputs (HTML wrappers, PII strings, URLs) are DERIVED
+deterministically from (doc_id, text) with the identical expression on
+both engines — same discipline as the derived-points family in
+entry_queries.py.
+
+Cross-engine notes baked into the oracles:
+- DuckDB regexp_replace needs the 'g' option (Spark replaces all
+  matches by default);
+- replacement backrefs are $1 in java.util.regex but \\1 in RE2;
+- every pattern stays in the RE2-compatible subset;
+- the one double in tfidf is a single IEEE divide of exact integers
+  (log-free idf) so the value hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .entry_queries import PTS_SQL, derived_points, load
+from .operators import web
+
+# ---------------------------------------------------------------------------
+# Shared derivations (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_HTML_SQL = (
+    "'<html><head><title>d</title><style>p {color: red}</style>"
+    "<script>if (1 < 2) { var s = \"</p>\"; }</script></head>"
+    "<body><!-- nav <b> --><p>' || text || '</p>"
+    "<p>A &amp; B &lt;tag&gt;&nbsp;end</p>"
+    "<div id=\"f\">tail ' || (doc_id % 7) || '</div></body></html>'"
+)
+
+
+def _html_col() -> F.Column:
+    return F.concat(
+        F.lit(
+            '<html><head><title>d</title><style>p {color: red}</style>'
+            '<script>if (1 < 2) { var s = "</p>"; }</script></head>'
+            "<body><!-- nav <b> --><p>"
+        ),
+        F.col("text"),
+        F.lit("</p><p>A &amp; B &lt;tag&gt;&nbsp;end</p>" '<div id="f">tail '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</div></body></html>"),
+    )
+
+
+_PII_SQL = (
+    "text || ' contact user' || (doc_id % 97) || '@mail' || (doc_id % 5)"
+    " || '.example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 192.168.' || (doc_id % 256) || '.' || (doc_id % 100)"
+)
+
+
+def _pii_col() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        (d % 97).cast("string"),
+        F.lit("@mail"),
+        (d % 5).cast("string"),
+        F.lit(".example.com or 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 192.168."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        (d % 100).cast("string"),
+    )
+
+
+_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN"
+    " 'HTTPS://WWW.Site' || (doc_id % 37) || '.Example' || (doc_id % 3)"
+    " || '.COM:443/P/' || doc_id || '?utm_source=a&id=' || doc_id || '#frag'"
+    " ELSE"
+    " 'http://Site' || (doc_id % 37) || '.Example' || (doc_id % 3)"
+    " || '.com:80/P/' || doc_id || '?id=' || doc_id || '&utm_campaign=b'"
+    " END"
+)
+
+
+def _url_col() -> F.Column:
+    d = F.col("doc_id")
+    k = (d % 37).cast("string")
+    j = (d % 3).cast("string")
+    i = d.cast("string")
+    even = F.concat(
+        F.lit("HTTPS://WWW.Site"), k, F.lit(".Example"), j,
+        F.lit(".COM:443/P/"), i, F.lit("?utm_source=a&id="), i, F.lit("#frag"),
+    )
+    odd = F.concat(
+        F.lit("http://Site"), k, F.lit(".Example"), j,
+        F.lit(".com:80/P/"), i, F.lit("?id="), i, F.lit("&utm_campaign=b"),
+    )
+    return F.when(d % 2 == 0, even).otherwise(odd)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = docs.withColumn("html_text", _html_col())
+    out = web.html_extract(wrapped, "html_text", out="extracted")
+    return out.select(
+        "doc_id",
+        "extracted",
+        F.length("extracted").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def q_web_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.withColumn("pii_text", _pii_col()).select("doc_id", "pii_text")
+    out = web.pii_redact(seeded, "pii_text", out="redacted")
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    ).orderBy("doc_id")
+
+
+def q_web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    seeded = docs.withColumn("url", _url_col())
+    out = web.url_canonicalize(seeded, "url", out="canon_url")
+    return out.select("doc_id", "canon_url", "domain").orderBy("doc_id")
+
+
+def q_web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.withColumn("url", _url_col())
+    out = web.domain_stats(seeded, "url", "text", "doc_id")
+    return out.select(
+        "domain", "n_pages", "n_unique_texts", "rep_doc_id"
+    ).orderBy("domain")
+
+
+def q_web_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = web.chunk_tokens(docs, size=8, stride=6)
+    return out.orderBy("doc_id", "chunk_idx")
+
+
+def q_web_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = web.tfidf_top_terms(docs, k=3)
+    return out.orderBy("doc_id", "rnk")
+
+
+def q_web_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derived_points(spark, sf_dir)
+    enc = web.geohash_encode(pts, precision=4)
+    return (
+        enc.groupBy("geohash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("point_id").alias("min_pid"),
+        )
+        .orderBy("geohash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _html_oracle_sql() -> str:
+    kills = [
+        r"(?s)<script[^>]*>.*?</script>",
+        r"(?s)<style[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+    ]
+    c = "h"
+    for pat in kills:
+        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, rep in web._ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        ent_sql = ent.replace("'", "''")
+        c = f"regexp_replace({c}, '{ent_sql}', '{rep_sql}', 'g')"
+    c = rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+    return (
+        f"WITH d AS (SELECT doc_id, {_HTML_SQL} AS h FROM documents)"
+        f" SELECT doc_id, {c} AS extracted,"
+        f" CAST(length({c}) AS BIGINT) AS n_chars"
+        " FROM d ORDER BY doc_id"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    red = "t"
+    counts = []
+    for name, pat, token in web.PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return (
+        f"WITH d AS (SELECT doc_id, {_PII_SQL} AS t FROM documents)"
+        f" SELECT doc_id, {', '.join(counts)}, {red} AS redacted"
+        " FROM d ORDER BY doc_id"
+    )
+
+
+def _canon_sql_expr() -> str:
+    """The canonicalization chain in DuckDB syntax (RE2 \\1 backrefs)."""
+    c = (
+        "lower(regexp_extract(u, '^([A-Za-z]+://[^/?#]*)', 1))"
+        " || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '', 'g')"
+    )
+    c = f"regexp_replace({c}, '#.*$', '', 'g')"
+    c = rf"regexp_replace({c}, '^(https://[^/:?#]+):443(/|$)', '\1\2', 'g')"
+    c = rf"regexp_replace({c}, '^(http://[^/:?#]+):80(/|$)', '\1\2', 'g')"
+    c = rf"regexp_replace({c}, '^([a-z]+://)www\.', '\1', 'g')"
+    c = f"regexp_replace({c}, 'utm_[A-Za-z]+=[^&#]*&', '', 'g')"
+    c = rf"regexp_replace({c}, '[?&]utm_[A-Za-z]+=[^&#]*$', '', 'g')"
+    c = rf"regexp_replace({c}, '\?$', '', 'g')"
+    return c
+
+
+def _domain_sql_expr(canon: str) -> str:
+    host = f"regexp_extract({canon}, '^[a-z]+://([^/:?#]+)', 1)"
+    return f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+
+
+def _url_canonical_oracle_sql() -> str:
+    canon = _canon_sql_expr()
+    dom = _domain_sql_expr("canon_url")
+    return (
+        f"WITH d AS (SELECT doc_id, {_URL_SQL} AS u FROM documents),"
+        f" c AS (SELECT doc_id, {canon} AS canon_url FROM d)"
+        f" SELECT doc_id, canon_url, {dom} AS domain"
+        " FROM c ORDER BY doc_id"
+    )
+
+
+def _domain_stats_oracle_sql() -> str:
+    canon = _canon_sql_expr()
+    dom = _domain_sql_expr("canon_url")
+    return (
+        f"WITH d AS (SELECT doc_id, text, {_URL_SQL} AS u FROM documents),"
+        f" c AS (SELECT doc_id, text, {canon} AS canon_url FROM d),"
+        f" g AS (SELECT doc_id, text, {dom} AS domain FROM c)"
+        " SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,"
+        " CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,"
+        " MIN(doc_id) AS rep_doc_id"
+        " FROM g GROUP BY domain ORDER BY domain"
+    )
+
+
+def _chunks_oracle_sql(size: int = 8, stride: int = 6) -> str:
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks"
+        " FROM documents),"
+        " s AS (SELECT doc_id, toks,"
+        f" unnest(generate_series(1, greatest(len(toks), 1), {stride}))"
+        " AS st FROM t)"
+        f" SELECT doc_id, CAST((st - 1) / {stride} AS BIGINT) AS chunk_idx,"
+        f" array_to_string(toks[st:least(st + {size - 1}, len(toks))], ' ')"
+        " AS chunk_text,"
+        f" CAST(least(st + {size - 1}, len(toks)) - st + 1 AS BIGINT) AS n_tok"
+        " FROM s ORDER BY doc_id, chunk_idx"
+    )
+
+
+def _tfidf_oracle_sql(k: int = 3) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents),"
+        " tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf"
+        " FROM toks GROUP BY doc_id, tok),"
+        " dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df"
+        " FROM tf GROUP BY tok),"
+        " nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs"
+        " FROM documents),"
+        " sc AS (SELECT f.doc_id, f.tok, f.tf, d.df,"
+        " CAST(f.tf AS DOUBLE) * nd.n_docs / d.df AS score"
+        " FROM tf f JOIN dfreq d USING (tok) CROSS JOIN nd),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY score DESC, tok) AS rnk FROM sc)"
+        f" SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score"
+        f" FROM r WHERE rnk <= {k} ORDER BY doc_id, rnk"
+    )
+
+
+def _geohash_oracle_sql(precision: int = 4) -> str:
+    half = 5 * precision // 2
+    n = 1 << half
+    total = 5 * precision
+
+    def spread(var: str) -> str:
+        c = var
+        for shift, mask in web.SPREAD64_STEPS:
+            c = f"(({c} | ({c} << {shift})) & {mask})"
+        return c
+
+    chars = []
+    for j in range(precision):
+        sh = total - 5 * (j + 1)
+        chars.append(
+            f"substr('{web.GEOHASH32}',"
+            f" CAST(((val >> {sh}) & 31) AS INT) + 1, 1)"
+        )
+    gh = " || ".join(chars)
+    return (
+        f"WITH pts AS ({PTS_SQL}),"
+        " q0 AS (SELECT point_id,"
+        f" CAST(floor((lon + 180.0) / 360.0 * {n}.0) AS BIGINT) AS ix0,"
+        f" CAST(floor((lat + 90.0) / 180.0 * {n}.0) AS BIGINT) AS iy0"
+        " FROM pts),"
+        " q1 AS (SELECT point_id,"
+        f" LEAST(GREATEST(ix0, 0), {n - 1}) AS ix,"
+        f" LEAST(GREATEST(iy0, 0), {n - 1}) AS iy FROM q0),"
+        " v AS (SELECT point_id,"
+        f" (({spread('ix')} << 1) | {spread('iy')}) AS val FROM q1),"
+        f" g AS (SELECT point_id, {gh} AS geohash FROM v)"
+        " SELECT geohash, CAST(count(*) AS BIGINT) AS n,"
+        " MIN(point_id) AS min_pid"
+        " FROM g GROUP BY geohash ORDER BY geohash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registration
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    return {
+        "web_html_extract": q_web_html_extract,
+        "web_pii_redact": q_web_pii_redact,
+        "web_url_canonical": q_web_url_canonical,
+        "web_domain_stats": q_web_domain_stats,
+        "web_doc_chunks": q_web_doc_chunks,
+        "web_tfidf_top": q_web_tfidf_top,
+        "web_geohash_tiles": q_web_geohash_tiles,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "web_html_extract": _html_oracle_sql(),
+        "web_pii_redact": _pii_oracle_sql(),
+        "web_url_canonical": _url_canonical_oracle_sql(),
+        "web_domain_stats": _domain_stats_oracle_sql(),
+        "web_doc_chunks": _chunks_oracle_sql(),
+        "web_tfidf_top": _tfidf_oracle_sql(),
+        "web_geohash_tiles": _geohash_oracle_sql(),
+    }

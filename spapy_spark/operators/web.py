@@ -1,0 +1,304 @@
+"""Web-text pipeline operators: HTML boilerplate strip, PII redaction,
+URL canonicalization + domain rollup, token-window chunking, TF-IDF
+term ranking, and geohash tiling.
+
+All pure built-in Spark SQL (JVM-side, whole-stage codegen — zero
+Python in the hot path), so every operator scales to the north rule's
+10^12-document table: the HTML/PII/URL passes are per-row regex chains
+(no shuffle at all), chunking is a generator explode, TF-IDF is two
+map-side-combined aggregations plus one broadcast-sized term join, and
+geohash is integer bit math.
+
+These extend the reference's surface (SpaPy has no web-text ops,
+/root/reference/SpaVectors.py handles only geometry attributes) per
+the driver's training-data-pipeline mandate; each has a DuckDB-oracle
+query in entry_queries4.py.
+
+Cross-engine regex discipline: every pattern stays inside the
+RE2-compatible subset (no backreferences, no lookaround) so Spark's
+java.util.regex and DuckDB's RE2 agree byte-for-byte; `(?s)` dot-all
+and non-greedy `.*?` are in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip
+# ---------------------------------------------------------------------------
+
+# Order matters: containers with text payloads that must NOT survive
+# (script/style/comments) die first, then remaining tags become spaces.
+_HTML_KILL = (
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+_HTML_TAG = r"<[^>]*>"
+# Minimal named-entity table (the HTML4 core set a crawler actually
+# hits); numeric entities are out of scope for the oracle-gated op.
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last, so "&amp;lt;" decodes to "&lt;" not "<"
+)
+
+
+def html_extract_col(html: Column) -> Column:
+    """Boilerplate-stripped visible text of an HTML string column."""
+    c = html
+    for pat in _HTML_KILL:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, rep in _ENTITIES:
+        # literal replace: escape nothing — entities have no regex
+        # metacharacters except '&#39;' which is safe in both dialects
+        c = F.regexp_replace(c, ent, rep)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html_text", out: str = "extracted"
+) -> DataFrame:
+    """Strip tags/script/style/comments, decode core entities, collapse
+    whitespace.  Pure regexp_replace chain — one codegen stage."""
+    return df.withColumn(out, html_extract_col(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "[PHONE]"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "[IP]"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out: str = "redacted"
+) -> DataFrame:
+    """Redact emails → phones → IPv4s (that order: an email whose
+    domain looks dotted-numeric must be eaten by the email pass) and
+    count each category on the ORIGINAL text (counts are audit
+    metadata, independent of redaction order)."""
+    c = F.col(text_col)
+    red = c
+    sel = [df["*"]]
+    for name, pat, token in PII_PATTERNS:
+        sel.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast(
+                "long"
+            ).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, token)
+    return df.select(*sel, red.alias(out))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain extraction
+# ---------------------------------------------------------------------------
+
+
+def url_canonicalize_col(url: Column) -> Column:
+    """Crawl-frontier URL canonicalization: lowercase scheme+host,
+    drop default ports, drop www., drop fragments and utm_* params.
+
+    Regex-staged (RE2-safe); the scheme+host lowering keeps the PATH
+    case intact by splitting at the first '/' after '//'.
+    """
+    head = F.lower(F.regexp_extract(url, r"^([A-Za-z]+://[^/?#]*)", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z]+://[^/?#]*", "")
+    c = F.concat(head, rest)
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(c, r"^(https://[^/:?#]+):443(/|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(http://[^/:?#]+):80(/|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^([a-z]+://)www\.", r"$1")
+    # utm params: mid-query (utm_x=v&) then trailing (?utm_x=v / &utm_x=v)
+    c = F.regexp_replace(c, r"utm_[A-Za-z]+=[^&#]*&", "")
+    c = F.regexp_replace(c, r"[?&]utm_[A-Za-z]+=[^&#]*$", "")
+    c = F.regexp_replace(c, r"\?$", "")
+    return c
+
+
+def url_host_col(url: Column) -> Column:
+    """Host of an already-canonicalized URL (port stripped)."""
+    return F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1)
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Last two labels (example.com) — the eTLD+1 approximation a
+    public-suffix list would refine; documented simplification."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", out: str = "canon_url"
+) -> DataFrame:
+    c = url_canonicalize_col(F.col(url_col))
+    return df.withColumn(out, c).withColumn(
+        "domain", registered_domain_col(url_host_col(c))
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-registered-domain rollup: page count, distinct-text count
+    (exact intra-domain dedup), representative doc.  One shuffle on
+    the domain key; count_distinct(md5) keeps only 16-byte hashes —
+    not text payloads — in the aggregation state."""
+    canon = url_canonicalize(df, url_col)
+    return canon.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
+        F.min(id_col).alias("rep_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+    stride: int = 6,
+) -> DataFrame:
+    """Overlapping token-window chunks (the LLM-training text splitter):
+    windows of ``size`` whitespace tokens every ``stride`` tokens, the
+    tail window may be shorter.  Pure Catalyst: split → sequence of
+    starts → transform+slice → posexplode.  No Python, no shuffle."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')), 1), {stride}),"
+        f" s -> array_join(slice(split({text_col}, ' '), s, {size}), ' '))"
+    )
+    out = df.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k distinctive terms per document.
+
+    Log-free idf (score = tf * N / df as one double divide) keeps the
+    score bit-identical across engines — integer products below 2^53
+    then a single IEEE division; ln() last-ulp drift would break the
+    driver's value hash.  Two map-side-combined aggs + one join on the
+    term key (term dictionary ≪ corpus, broadcast at any corpus size
+    where |vocab| is bounded) + one per-doc top-k window.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            F.col("rnk").cast("long").alias("rnk"),
+            "tok",
+            "tf",
+            "df",
+            "score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geohash tiling
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+# 32-bit → 64-bit even-position bit spread (classic magic masks)
+SPREAD64_STEPS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(c: Column) -> Column:
+    for shift, mask in SPREAD64_STEPS:
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+    return c
+
+
+def geohash_col(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Standard geohash (base-32, lon bit first) as pure Catalyst bit
+    math — same spread-mask chain as the engine's Z-order cells
+    (cells.py), different interleave order + alphabet.  Even precision
+    only (lat/lon get equal bit budgets) keeps the math branch-free."""
+    if precision % 2 or not (2 <= precision <= 12):
+        raise ValueError("precision must be even, 2..12")
+    half = 5 * precision // 2  # bits per axis
+    n = 1 << half
+    ilon = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    ilat = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    ilon = F.least(F.greatest(ilon, F.lit(0)), F.lit(n - 1)).cast("long")
+    ilat = F.least(F.greatest(ilat, F.lit(0)), F.lit(n - 1)).cast("long")
+    val = F.shiftleft(_spread_bits(ilon), 1).bitwiseOR(_spread_bits(ilat))
+    chars = []
+    total = 5 * precision
+    for j in range(precision):
+        idx = F.shiftrightunsigned(val, total - 5 * (j + 1)).bitwiseAND(
+            F.lit(31)
+        )
+        chars.append(F.lit(GEOHASH32).substr((idx + 1).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_encode(
+    df: DataFrame,
+    y: str = "lat",
+    x: str = "lon",
+    precision: int = 8,
+    out: str = "geohash",
+) -> DataFrame:
+    return df.withColumn(out, geohash_col(F.col(y), F.col(x), precision))

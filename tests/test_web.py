@@ -1,0 +1,194 @@
+"""Web-text pipeline operators (operators/web.py).
+
+Fixtures are hand-computed expected outputs; the cross-engine
+bit-exactness of the same operators is covered by the seven
+entry_queries4 oracle rows (tools/check_contract.py).
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from spapy_spark.operators import web
+
+
+def test_html_extract(spark):
+    html = (
+        '<html><head><style>p {color: red}</style>'
+        '<script>if (1 < 2) { var s = "</p>"; }</script></head>'
+        "<body><!-- nav <b> --><p>hello   world</p>"
+        "<p>A &amp; B &lt;tag&gt;&nbsp;end</p><div>tail</div></body></html>"
+    )
+    df = spark.createDataFrame([Row(html_text=html)])
+    out = web.html_extract(df).select("extracted").first()[0]
+    assert out == "hello world A & B <tag> end tail"
+
+
+def test_html_extract_amp_order(spark):
+    # &amp;lt; must decode to the literal text "&lt;", not "<"
+    df = spark.createDataFrame([Row(html_text="x &amp;lt; y")])
+    out = web.html_extract(df).select("extracted").first()[0]
+    assert out == "x &lt; y"
+
+
+def test_pii_redact(spark):
+    txt = "mail a.b@ex.com twice a.b@ex.com call 555-012-3456 ip 10.0.0.1 end"
+    df = spark.createDataFrame([Row(text=txt)])
+    r = web.pii_redact(df).first()
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (2, 1, 1)
+    assert r["redacted"] == (
+        "mail [EMAIL] twice [EMAIL] call [PHONE] ip [IP] end"
+    )
+
+
+def test_pii_counts_are_preredaction(spark):
+    # the email's dotted host must not leak into the ipv4 count
+    df = spark.createDataFrame([Row(text="u@h.io 1.2.3.4")])
+    r = web.pii_redact(df).first()
+    assert (r["n_email"], r["n_ipv4"]) == (1, 1)
+    assert r["redacted"] == "[EMAIL] [IP]"
+
+
+@pytest.mark.parametrize(
+    "url,canon,domain",
+    [
+        (
+            "HTTPS://WWW.Site.Example.COM:443/Path/X?utm_source=a&id=7#frag",
+            "https://site.example.com/Path/X?id=7",
+            "example.com",
+        ),
+        (
+            "http://Host.example.com:80/p?id=1&utm_campaign=b",
+            "http://host.example.com/p?id=1",
+            "example.com",
+        ),
+        # non-default port survives; path case is preserved
+        ("http://a.B.com:8080/UP", "http://a.b.com:8080/UP", "b.com"),
+        # lone utm param leaves no dangling '?'
+        ("https://x.io/?utm_x=1", "https://x.io/", "x.io"),
+    ],
+)
+def test_url_canonicalize(spark, url, canon, domain):
+    df = spark.createDataFrame([Row(url=url)])
+    r = web.url_canonicalize(df).first()
+    assert r["canon_url"] == canon
+    assert r["domain"] == domain
+
+
+def test_domain_stats(spark):
+    rows = [
+        Row(doc_id=1, text="a", url="http://www.x.com/1"),
+        Row(doc_id=2, text="a", url="http://x.com/2"),
+        Row(doc_id=3, text="b", url="https://y.org/1"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["domain"]: r
+        for r in web.domain_stats(df, "url", "text", "doc_id").collect()
+    }
+    assert out["x.com"]["n_pages"] == 2
+    assert out["x.com"]["n_unique_texts"] == 1
+    assert out["x.com"]["rep_doc_id"] == 1
+    assert out["y.org"]["n_pages"] == 1
+
+
+def test_chunk_tokens(spark):
+    txt = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame([Row(doc_id=1, text=txt)])
+    rows = web.chunk_tokens(df, size=8, stride=6).collect()
+    # starts 1, 7: chunks [t1..t8], [t7..t10]
+    assert [(r["chunk_idx"], r["n_tok"]) for r in rows] == [(0, 8), (1, 4)]
+    assert rows[1]["chunk_text"] == "t7 t8 t9 t10"
+
+
+def test_chunk_tokens_short_doc(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="solo")])
+    rows = web.chunk_tokens(df, size=8, stride=6).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "solo"
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        Row(doc_id=1, text="apple apple banana shared"),
+        Row(doc_id=2, text="banana cherry shared"),
+        Row(doc_id=3, text="cherry cherry cherry shared"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = web.tfidf_top_terms(df, k=1).orderBy("doc_id").collect()
+    # doc1: apple tf=2 df=1 → 6.0 beats banana 1.5, shared 1.0
+    assert [(r["doc_id"], r["tok"], r["score"]) for r in out] == [
+        (1, "apple", 6.0),
+        (2, "banana", 1.5),
+        (3, "cherry", 4.5),
+    ]
+
+
+def test_geohash_known_values(spark):
+    # canonical fixtures: geohash.org reference encodings
+    df = spark.createDataFrame(
+        [
+            Row(pid=1, lat=57.64911, lon=10.40744),   # u4pruydq
+            Row(pid=2, lat=42.6, lon=-5.6),           # ezs42
+            Row(pid=3, lat=0.0, lon=0.0),
+            Row(pid=4, lat=-90.0, lon=-180.0),
+            Row(pid=5, lat=90.0, lon=180.0),          # clamp top edge
+        ]
+    )
+    out = {r["pid"]: r["geohash"] for r in
+           web.geohash_encode(df, "lat", "lon", precision=8).collect()}
+    assert out[1] == "u4pruydq"
+    assert out[2].startswith("ezs42")
+    assert out[3].startswith("s000")
+    assert out[4] == "00000000"
+    assert out[5] == "zzzzzzzz"
+
+
+def test_geohash_matches_reference_impl(spark):
+    # pure-python reference geohash vs the Catalyst bit-math version
+    def ref_geohash(lat, lon, precision):
+        b32 = web.GEOHASH32
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even = 0, [], True
+        ch = 0
+        while len(out) < precision:
+            if even:
+                mid = (lon_r[0] + lon_r[1]) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lon_r[0] = mid
+                else:
+                    ch = ch * 2
+                    lon_r[1] = mid
+            else:
+                mid = (lat_r[0] + lat_r[1]) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    lat_r[0] = mid
+                else:
+                    ch = ch * 2
+                    lat_r[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(b32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    pts = [
+        (48.8566, 2.3522),
+        (-33.8688, 151.2093),
+        (35.6895, 139.6917),
+        (1e-9, -1e-9),
+        (-0.1, 0.1),
+    ]
+    df = spark.createDataFrame(
+        [Row(pid=i, lat=la, lon=lo) for i, (la, lo) in enumerate(pts)]
+    )
+    got = {r["pid"]: r["geohash"] for r in
+           web.geohash_encode(df, "lat", "lon", precision=8).collect()}
+    for i, (la, lo) in enumerate(pts):
+        assert got[i] == ref_geohash(la, lo, 8), (la, lo)
+
+
+def test_geohash_rejects_odd_precision():
+    with pytest.raises(ValueError):
+        web.geohash_col(F.lit(0.0), F.lit(0.0), precision=5)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .entry_queries import PTS_SQL, derived_points, load
-from .operators import web
+from .operators import s2, web
 
 # ---------------------------------------------------------------------------
 # Shared derivations (Spark + SQL twins)
@@ -167,6 +167,99 @@ def q_web_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("point_id").alias("min_pid"),
         )
         .orderBy("geohash")
+    )
+
+
+def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 tiling rollup over rational direction vectors derived from
+    doc_id — the trig-free path, so the whole chain (ratios, quadratic
+    ST sqrt, floor, Hilbert automaton) is bit-exact cross-engine.  The
+    Spark side runs the Arrow-batched numpy encoder (operators/s2.py);
+    the oracle replays the automaton as an unrolled CTE chain."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    vecs = docs.select(
+        "doc_id",
+        (((d * 7) % 2001 - 1000) / F.lit(1000.0)).alias("x"),
+        (((d * 13) % 2001 - 1000) / F.lit(1000.0)).alias("y"),
+        ((((d % 1999) * 2) - 1999) / F.lit(2000.0)).alias("z"),
+    )
+    enc = s2.s2_encode_xyz(vecs, level=_S2_LEVEL)
+    return (
+        enc.groupBy("s2_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("s2_cell")
+    )
+
+
+_S2_LEVEL = 6
+
+_S2_XYZ_SQL = (
+    "SELECT doc_id,"
+    " CAST((doc_id * 7) % 2001 - 1000 AS DOUBLE) / 1000.0 AS x,"
+    " CAST((doc_id * 13) % 2001 - 1000 AS DOUBLE) / 1000.0 AS y,"
+    " CAST((doc_id % 1999) * 2 - 1999 AS DOUBLE) / 2000.0 AS z"
+    " FROM documents"
+)
+
+
+def _s2_oracle_sql(level: int = _S2_LEVEL) -> str:
+    n = 1 << level
+    # face pick mirrors s2.xyz_to_face_uv's where-chain exactly
+    face = (
+        "CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN"
+        " (CASE WHEN x >= 0 THEN 0 ELSE 3 END)"
+        " WHEN abs(y) >= abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)"
+        " ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END"
+    )
+    u = (
+        "CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z"
+        " WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END"
+    )
+    v = (
+        "CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z"
+        " WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END"
+    )
+
+    def st(col: str) -> str:
+        return (
+            f"CASE WHEN {col} >= 0 THEN 0.5 * sqrt(1 + 3 * {col})"
+            f" ELSE 1 - 0.5 * sqrt(1 - 3 * {col}) END"
+        )
+
+    def ij(col: str) -> str:
+        return (
+            f"LEAST(GREATEST(CAST(floor({col} * {n}.0) AS BIGINT), 0),"
+            f" {n - 1})"
+        )
+
+    # unrolled Hilbert automaton: one CTE per level, MSB-first;
+    # table lookups are shift+mask on the packed constants
+    stages = []
+    for k in range(level):
+        sh = level - 1 - k
+        idx = f"((r * 4 + (((i >> {sh}) & 1) * 2 + ((j >> {sh}) & 1))) * 2)"
+        stages.append(
+            f" h{k + 1} AS (SELECT doc_id, i, j, face,"
+            f" pos * 4 + (({s2.POS_PACKED} >> {idx}) & 3) AS pos,"
+            f" CAST(({s2.NEXTR_PACKED} >> {idx}) & 3 AS BIGINT) AS r"
+            f" FROM h{k})"
+        )
+    return (
+        f"WITH d AS ({_S2_XYZ_SQL}),"
+        f" f AS (SELECT doc_id, x, y, z, {face} AS face FROM d),"
+        f" uv AS (SELECT doc_id, face, {u} AS u, {v} AS v FROM f),"
+        f" st AS (SELECT doc_id, face, {st('u')} AS s, {st('v')} AS t"
+        " FROM uv),"
+        f" h0 AS (SELECT doc_id, face, {ij('s')} AS i, {ij('t')} AS j,"
+        " CAST(face % 2 AS BIGINT) AS r, CAST(0 AS BIGINT) AS pos FROM st),"
+        + ",".join(stages)
+        + f" SELECT face * {4 ** level} + pos AS s2_cell,"
+        " CAST(count(*) AS BIGINT) AS n, MIN(doc_id) AS min_doc"
+        f" FROM h{level} GROUP BY s2_cell ORDER BY s2_cell"
     )
 
 
@@ -345,6 +438,7 @@ def build_queries() -> dict:
         "web_doc_chunks": q_web_doc_chunks,
         "web_tfidf_top": q_web_tfidf_top,
         "web_geohash_tiles": q_web_geohash_tiles,
+        "s2_tiles": q_s2_tiles,
     }
 
 
@@ -357,4 +451,5 @@ def build_oracle_sql() -> dict:
         "web_doc_chunks": _chunks_oracle_sql(),
         "web_tfidf_top": _tfidf_oracle_sql(),
         "web_geohash_tiles": _geohash_oracle_sql(),
+        "s2_tiles": _s2_oracle_sql(),
     }

@@ -698,6 +698,7 @@ def _raster_sample_oracle_sql() -> str:
 # it drops the ones with the longest green history.
 _FRONT = [
     "s2_tiles",
+    "warc_extract",
     "web_html_extract",
     "web_pii_redact",
     "web_url_canonical",

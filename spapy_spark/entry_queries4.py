@@ -197,6 +197,65 @@ def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S2_LEVEL = 6
 
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container roundtrip: pack documents into per-group gzipped WARC
+    blobs (the Common-Crawl layout: one gzip member per record), parse
+    them back with the from-scratch reader, and emit each record's url,
+    date, payload size, and the text DECODED FROM THE CONTAINER — the
+    oracle derives the same rows straight from the table, so a single
+    flipped byte anywhere in writer or parser breaks the value hash
+    (the input_hint's byte-identical-text invariant, proven through a
+    container)."""
+    import pandas as pd
+
+    from .sources import warc as warclib
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("gid", F.col("doc_id") % 40)
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            s = int(did) % 86400
+            date = (
+                f"2024-01-01T{s // 3600:02d}:{s % 3600 // 60:02d}"
+                f":{s % 60:02d}Z"
+            )
+            recs.append((f"http://w{did}.example/p", date,
+                         str(text).encode("utf-8")))
+        blob = warclib.build_warc(recs, gzip_records=True)
+        return pd.DataFrame({"gid": [int(pdf["gid"].iloc[0])],
+                             "warc": [blob]})
+
+    blobs = docs.groupBy("gid").applyInPandas(build, "gid long, warc binary")
+    recs = warclib.records_df(blobs, "warc")
+    return recs.select(
+        "url",
+        "warc_date",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.col("payload").cast("string").alias("text"),
+    ).orderBy("url")
+
+
+def _warc_oracle_sql() -> str:
+    s = "(doc_id % 86400)"
+    date = (
+        f"'2024-01-01T' || lpad(CAST({s} // 3600 AS VARCHAR), 2, '0')"
+        f" || ':' || lpad(CAST(({s} % 3600) // 60 AS VARCHAR), 2, '0')"
+        f" || ':' || lpad(CAST({s} % 60 AS VARCHAR), 2, '0') || 'Z'"
+    )
+    return (
+        "SELECT 'http://w' || doc_id || '.example/p' AS url,"
+        f" {date} AS warc_date,"
+        " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+        " text FROM documents ORDER BY url"
+    )
+
 _S2_XYZ_SQL = (
     "SELECT doc_id,"
     " CAST((doc_id * 7) % 2001 - 1000 AS DOUBLE) / 1000.0 AS x,"
@@ -439,6 +498,7 @@ def build_queries() -> dict:
         "web_tfidf_top": q_web_tfidf_top,
         "web_geohash_tiles": q_web_geohash_tiles,
         "s2_tiles": q_s2_tiles,
+        "warc_extract": q_warc_extract,
     }
 
 
@@ -452,4 +512,5 @@ def build_oracle_sql() -> dict:
         "web_tfidf_top": _tfidf_oracle_sql(),
         "web_geohash_tiles": _geohash_oracle_sql(),
         "s2_tiles": _s2_oracle_sql(),
+        "warc_extract": _warc_oracle_sql(),
     }

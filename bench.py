@@ -138,6 +138,14 @@ def main():
                 "clip_bbox",
                 "densify_counts",
                 "streaming_hourly",
+                # round-4 web-text + S2/WARC families
+                "web_html_extract",
+                "web_pii_redact",
+                "web_doc_chunks",
+                "web_tfidf_top",
+                "web_geohash_tiles",
+                "s2_tiles",
+                "warc_extract",
             )
         )
         queries = eq.build_queries()

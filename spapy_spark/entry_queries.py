@@ -699,6 +699,7 @@ def _raster_sample_oracle_sql() -> str:
 _FRONT = [
     "s2_tiles",
     "warc_extract",
+    "robots_check",
     "web_html_extract",
     "web_pii_redact",
     "web_url_canonical",

@@ -198,6 +198,91 @@ def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S2_LEVEL = 6
 
 
+def q_robots_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt longest-match evaluation, fully in Catalyst: group
+    tracking via running-count windows, rule resolution via a rank
+    window.  Three derived domains carry a non-* group (ignored), a
+    short Disallow, a longer Allow overriding it, and an empty
+    Disallow (spec: allow-all, dropped by the parser)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("example"), (d % 3).cast("string"), F.lit(".com")
+        ).alias("domain"),
+        F.concat(F.lit("/P/"), d.cast("string")).alias("path"),
+    )
+    robots = spark.range(3).select(
+        F.concat(
+            F.lit("example"), F.col("id").cast("string"), F.lit(".com")
+        ).alias("domain"),
+        F.concat(
+            F.lit(
+                "User-agent: bot\nDisallow: /\nUser-agent: *"
+                "\nDisallow: /P/1\nAllow: /P/1"
+            ),
+            F.col("id").cast("string"),
+            F.lit("\nDisallow: /P/2\nDisallow:"),
+        ).alias("robots_txt"),
+    )
+    rules = web.robots_rules(robots)
+    return web.robots_check(urls, rules).orderBy("doc_id")
+
+
+_ROBOTS_RX = "^(Allow|Disallow): *(.*[^ ]) *$"
+
+
+def _robots_oracle_sql() -> str:
+    txt = (
+        "'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) ||"
+        " 'User-agent: *' || chr(10) || 'Disallow: /P/1' || chr(10) ||"
+        " 'Allow: /P/1' || j || chr(10) || 'Disallow: /P/2' || chr(10) ||"
+        " 'Disallow:'"
+    )
+    return (
+        "WITH u AS (SELECT doc_id,"
+        " 'example' || (doc_id % 3) || '.com' AS domain,"
+        " '/P/' || doc_id AS path FROM documents),"
+        " r0 AS (SELECT CAST(range AS BIGINT) AS j FROM range(3)),"
+        f" rb AS (SELECT 'example' || j || '.com' AS domain, {txt}"
+        " AS robots_txt FROM r0),"
+        " tk AS (SELECT domain, string_split(robots_txt, chr(10)) AS toks"
+        " FROM rb),"
+        " s AS (SELECT domain, toks,"
+        " unnest(generate_series(1, len(toks))) AS ln FROM tk),"
+        " l AS (SELECT domain, ln, toks[ln] AS line FROM s),"
+        " g AS (SELECT domain, ln, line,"
+        " SUM(CASE WHEN line LIKE 'User-agent:%' THEN 1 ELSE 0 END)"
+        " OVER (PARTITION BY domain ORDER BY ln"
+        " ROWS UNBOUNDED PRECEDING) AS gid,"
+        " CASE WHEN line LIKE 'User-agent:%' THEN"
+        " trim(regexp_extract(line, '^User-agent:(.*)$', 1)) END AS ua_line"
+        " FROM l),"
+        " g2 AS (SELECT *, MAX(ua_line) OVER (PARTITION BY domain, gid)"
+        " AS ua FROM g),"
+        " rules AS (SELECT domain,"
+        f" regexp_extract(line, '{_ROBOTS_RX}', 1) AS directive,"
+        f" regexp_extract(line, '{_ROBOTS_RX}', 2) AS rule_path"
+        " FROM g2 WHERE ua = '*'"
+        f" AND regexp_extract(line, '{_ROBOTS_RX}', 1) <> ''),"
+        " cand AS (SELECT u.doc_id, u.domain, u.path, r.directive,"
+        " r.rule_path,"
+        " CASE WHEN r.rule_path IS NOT NULL AND"
+        " substr(u.path, 1, length(r.rule_path)) = r.rule_path"
+        " THEN 1 ELSE 0 END AS m,"
+        " COALESCE(length(r.rule_path), 0) AS rlen"
+        " FROM u LEFT JOIN rules r USING (domain)),"
+        " rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY m DESC, rlen DESC, directive ASC, rule_path ASC)"
+        " AS rnk FROM cand)"
+        " SELECT doc_id, domain, path,"
+        " (m = 0 OR directive = 'Allow') AS allowed,"
+        " CASE WHEN m = 1 THEN rule_path END AS winning_rule"
+        " FROM rk WHERE rnk = 1 ORDER BY doc_id"
+    )
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container roundtrip: pack documents into per-group gzipped WARC
     blobs (the Common-Crawl layout: one gzip member per record), parse
@@ -499,6 +584,7 @@ def build_queries() -> dict:
         "web_geohash_tiles": q_web_geohash_tiles,
         "s2_tiles": q_s2_tiles,
         "warc_extract": q_warc_extract,
+        "robots_check": q_robots_check,
     }
 
 
@@ -513,4 +599,5 @@ def build_oracle_sql() -> dict:
         "web_geohash_tiles": _geohash_oracle_sql(),
         "s2_tiles": _s2_oracle_sql(),
         "warc_extract": _warc_oracle_sql(),
+        "robots_check": _robots_oracle_sql(),
     }

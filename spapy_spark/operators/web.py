@@ -249,6 +249,86 @@ def tfidf_top_terms(
 
 
 # ---------------------------------------------------------------------------
+# robots.txt evaluation
+# ---------------------------------------------------------------------------
+
+
+def robots_rules(
+    df: DataFrame, txt_col: str = "robots_txt", key: str = "domain"
+) -> DataFrame:
+    """Parse robots.txt bodies into (key, directive, rule_path) rows,
+    keeping only rules inside ``User-agent: *`` groups.
+
+    Group tracking is a running count of User-agent lines (two plain
+    window sums — no sequential scan, no Python), so the parse itself
+    distributes: a corpus of a billion robots files is one explode +
+    two windows partitioned by domain.
+    """
+    lines = df.select(
+        key, F.posexplode(F.split(F.col(txt_col), "\n")).alias("ln", "line")
+    )
+    is_ua = F.col("line").startswith("User-agent:")
+    wrun = (
+        Window.partitionBy(key)
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lines = lines.withColumn(
+        "gid", F.sum(F.when(is_ua, 1).otherwise(0)).over(wrun)
+    ).withColumn(
+        "ua_line",
+        F.when(is_ua, F.trim(F.regexp_extract("line", r"^User-agent:(.*)$", 1))),
+    )
+    wg = Window.partitionBy(key, "gid")
+    lines = lines.withColumn("ua", F.max("ua_line").over(wg))
+    rx = r"^(Allow|Disallow): *(.*[^ ]) *$"
+    return (
+        lines.where(F.col("ua") == "*")
+        .select(
+            key,
+            F.regexp_extract("line", rx, 1).alias("directive"),
+            F.regexp_extract("line", rx, 2).alias("rule_path"),
+        )
+        .where(F.col("directive") != "")
+    )
+
+
+def robots_check(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    key: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Longest-match robots evaluation per URL (the documented Google
+    semantics: most-specific rule wins, Allow wins length ties).
+
+    One equi-join on the domain key (rules ≪ pages per domain, so AQE
+    broadcasts or SMJs as stats dictate) + one per-URL rank window.
+    URLs whose domain has no matching rule are allowed.
+    """
+    j = urls.join(rules, key, "left")
+    matched = (
+        F.substring(F.col(path_col), 1, F.length("rule_path"))
+        == F.col("rule_path")
+    )
+    j = j.withColumn("m", F.when(matched, 1).otherwise(0)).withColumn(
+        "rlen", F.coalesce(F.length("rule_path"), F.lit(0))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("m"), F.desc("rlen"), F.asc("directive"), F.asc("rule_path")
+    )
+    top = j.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
+    return top.select(
+        id_col,
+        key,
+        path_col,
+        ((F.col("m") == 0) | (F.col("directive") == "Allow")).alias("allowed"),
+        F.when(F.col("m") == 1, F.col("rule_path")).alias("winning_rule"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Geohash tiling
 # ---------------------------------------------------------------------------
 

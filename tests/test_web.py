@@ -122,6 +122,80 @@ def test_tfidf_top_terms(spark):
     ]
 
 
+ROBOTS = """User-agent: bot
+Disallow: /secret
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+User-agent: other
+Disallow: /x"""
+
+
+def test_robots_rules_group_scoping(spark):
+    df = spark.createDataFrame([Row(domain="d.com", robots_txt=ROBOTS)])
+    rules = {
+        (r["directive"], r["rule_path"])
+        for r in web.robots_rules(df).collect()
+    }
+    # only the * group survives; the empty Disallow (allow-all) drops
+    assert rules == {
+        ("Disallow", "/private"),
+        ("Allow", "/private/ok"),
+    }
+
+
+@pytest.mark.parametrize(
+    "path,allowed,rule",
+    [
+        ("/public/a", True, None),        # no rule matches
+        ("/private", False, "/private"),
+        ("/private/no", False, "/private"),
+        ("/private/ok", True, "/private/ok"),     # longer Allow wins
+        ("/private/okay", True, "/private/ok"),
+        ("/secret", True, None),          # non-* group ignored
+    ],
+)
+def test_robots_check_longest_match(spark, path, allowed, rule):
+    robots = spark.createDataFrame([Row(domain="d.com", robots_txt=ROBOTS)])
+    rules = web.robots_rules(robots)
+    urls = spark.createDataFrame([Row(doc_id=1, domain="d.com", path=path)])
+    r = web.robots_check(urls, rules).first()
+    assert r["allowed"] == allowed and r["winning_rule"] == rule
+
+
+def test_robots_check_allow_wins_length_tie(spark):
+    rules = spark.createDataFrame(
+        [
+            Row(domain="d.com", directive="Disallow", rule_path="/a"),
+            Row(domain="d.com", directive="Allow", rule_path="/b"),
+        ]
+    )
+    urls = spark.createDataFrame(
+        [Row(doc_id=1, domain="d.com", path="/a/x")]
+    )
+    # only /a matches — disallowed; then a same-length Allow match:
+    r = web.robots_check(urls, rules).first()
+    assert r["allowed"] is False
+    rules2 = rules.union(
+        spark.createDataFrame(
+            [Row(domain="d.com", directive="Allow", rule_path="/a")]
+        )
+    )
+    r2 = web.robots_check(urls, rules2).first()
+    assert r2["allowed"] is True  # Allow wins the length tie
+
+
+def test_robots_unknown_domain_allowed(spark):
+    robots = spark.createDataFrame([Row(domain="d.com", robots_txt=ROBOTS)])
+    rules = web.robots_rules(robots)
+    urls = spark.createDataFrame(
+        [Row(doc_id=1, domain="other.com", path="/private")]
+    )
+    r = web.robots_check(urls, rules).first()
+    assert r["allowed"] is True and r["winning_rule"] is None
+
+
 def test_geohash_known_values(spark):
     # canonical fixtures: geohash.org reference encodings
     df = spark.createDataFrame(

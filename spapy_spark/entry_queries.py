@@ -700,6 +700,8 @@ _FRONT = [
     "s2_tiles",
     "warc_extract",
     "robots_check",
+    "dedup_clusters",
+    "pagerank_top",
     "web_html_extract",
     "web_pii_redact",
     "web_url_canonical",

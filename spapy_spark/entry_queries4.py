@@ -283,6 +283,108 @@ def _robots_oracle_sql() -> str:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering over a derived pair
+    graph: short per-decade chains, one 61-node chain (forces the
+    pointer-doubling path — plain propagation would need 60 rounds),
+    and cross-decade hub links.  Oracle is a DuckDB recursive CTE
+    computing min-reachable-id per node."""
+    from .operators import graph
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    e1 = docs.where(d % 10 < 4).select(d.alias("src"), (d + 1).alias("dst"))
+    e2 = docs.where((d >= 100) & (d < 160)).select(
+        d.alias("src"), (d + 1).alias("dst")
+    )
+    e3 = docs.where(d % 25 == 0).select(d.alias("src"), (d * 2).alias("dst"))
+    edges = e1.unionAll(e2).unionAll(e3)
+    out = graph.dedup_clusters(edges, "src", "dst")
+    return out.orderBy("node")
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE e AS ("
+        " SELECT doc_id AS src, doc_id + 1 AS dst FROM documents"
+        " WHERE doc_id % 10 < 4"
+        " UNION ALL SELECT doc_id, doc_id + 1 FROM documents"
+        " WHERE doc_id >= 100 AND doc_id < 160"
+        " UNION ALL SELECT doc_id, doc_id * 2 FROM documents"
+        " WHERE doc_id % 25 = 0),"
+        " sym AS (SELECT src AS a, dst AS b FROM e WHERE src <> dst"
+        " UNION SELECT dst, src FROM e WHERE src <> dst),"
+        " n AS (SELECT DISTINCT a AS node FROM sym),"
+        " reach(node, lbl) AS ("
+        " SELECT node, node FROM n"
+        " UNION"
+        " SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.node = s.b)"
+        " SELECT node, MIN(lbl) AS cluster,"
+        " (node = MIN(lbl)) AS is_canonical"
+        " FROM reach GROUP BY node ORDER BY node"
+    )
+
+
+def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over a derived link graph (2-3 out-links
+    per doc via modular hashing), 5 iterations, top-20 pages.  Integer
+    micro-ranks with floor divisions make an ITERATIVE algorithm
+    value-hash-exact — float PageRank could never face this gate."""
+    from .operators import graph
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    base = docs.crossJoin(F.broadcast(nd))
+    d = F.col("doc_id")
+    n = F.col("n")
+    e1 = base.select(d.alias("src"), ((d * 7 + 3) % n).alias("dst"))
+    e2 = base.select(d.alias("src"), ((d * 13 + 11) % n).alias("dst"))
+    e3 = base.where(d % 3 == 0).select(
+        d.alias("src"), ((d * 31 + 17) % n).alias("dst")
+    )
+    edges = e1.unionAll(e2).unionAll(e3)
+    pr = graph.pagerank_int(edges, docs, n_iter=5, id_col="doc_id")
+    return (
+        pr.select("doc_id", F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    head = (
+        "WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),"
+        " e AS ("
+        " SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst"
+        " FROM documents, nd"
+        " UNION ALL SELECT doc_id, (doc_id * 13 + 11) % n"
+        " FROM documents, nd"
+        " UNION ALL SELECT doc_id, (doc_id * 31 + 17) % n"
+        " FROM documents, nd WHERE doc_id % 3 = 0),"
+        " deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM e GROUP BY src),"
+        " nodes AS (SELECT doc_id AS node FROM documents),"
+        " r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    )
+    stages = []
+    for k in range(1, n_iter + 1):
+        stages.append(
+            f", c{k} AS (SELECT e.dst AS node,"
+            " CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s"
+            f" FROM e JOIN r{k - 1} r ON r.node = e.src"
+            " JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+            f", r{k} AS (SELECT nodes.node,"
+            " CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nodes LEFT JOIN c{k} c USING (node))"
+        )
+    return (
+        head
+        + "".join(stages)
+        + f" SELECT node AS doc_id, r AS pr FROM r{n_iter}"
+        " ORDER BY pr DESC, doc_id ASC LIMIT 20"
+    )
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container roundtrip: pack documents into per-group gzipped WARC
     blobs (the Common-Crawl layout: one gzip member per record), parse
@@ -585,6 +687,8 @@ def build_queries() -> dict:
         "s2_tiles": q_s2_tiles,
         "warc_extract": q_warc_extract,
         "robots_check": q_robots_check,
+        "dedup_clusters": q_dedup_clusters,
+        "pagerank_top": q_pagerank_top,
     }
 
 
@@ -600,4 +704,6 @@ def build_oracle_sql() -> dict:
         "s2_tiles": _s2_oracle_sql(),
         "warc_extract": _warc_oracle_sql(),
         "robots_check": _robots_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "pagerank_top": _pagerank_oracle_sql(),
     }

@@ -123,6 +123,55 @@ def main():
         "would otherwise coalesce the small shuffle to one partition "
         "and serialize it).",
     )
+    from spapy_spark.operators import graph, s2, web  # noqa: E402
+
+    html = web.html_extract(
+        docs.withColumn("html_text", F.concat(F.lit("<p>"), "text",
+                                              F.lit("</p>")))
+    )
+    red = web.pii_redact(html, "extracted")
+    cap(
+        "Web-text regex chain (HTML strip + PII redact, one codegen stage)",
+        red,
+        "The whole boilerplate-strip + redaction pipeline collapses "
+        "into ONE WholeStageCodegen project over the pruned scan — "
+        "zero Python, zero shuffle; at 10^12 docs this stage is pure "
+        "map throughput.",
+    )
+    tf = web.tfidf_top_terms(docs.select("doc_id", "text"))
+    cap(
+        "TF-IDF top-k (two partial aggs + broadcast term join)", tf,
+        "Token tf and df both partial-aggregate map-side before their "
+        "exchanges; the term dictionary joins back via "
+        "BroadcastHashJoin (vocab ≪ corpus) and the per-doc top-k is "
+        "a WindowGroupLimit — no unbounded sort.",
+    )
+    s2df = s2.s2_encode(pts.limit(10000), "lat", "lon", level=10)
+    cap(
+        "S2 cell encode (one ArrowEvalPython, no shuffle)", s2df,
+        "The Hilbert automaton runs as a single Arrow-batched pandas "
+        "UDF node directly over the scan — the north star's "
+        "'vectorized pandas/Arrow UDFs that batch-encode H3/S2 "
+        "cells', literally: one narrow stage, numpy bit math per "
+        "batch.",
+    )
+    nodes = docs.select("doc_id")
+    nd = nodes.agg(F.count(F.lit(1)).alias("n"))
+    eb = nodes.crossJoin(F.broadcast(nd))
+    edges = eb.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.col("n")).alias("dst"),
+    )
+    pr = graph.pagerank_int(edges, nodes, n_iter=1, id_col="doc_id")
+    cap(
+        "PageRank iteration (src join + map-side-combined dst sum)", pr,
+        "One power-iteration step: ranks join edges on src, "
+        "contributions partial-sum before the dst exchange "
+        "(`partial_sum` above the join), and the rank update is a "
+        "left join back to the node set. Integer micro-ranks keep "
+        "the result identical under any partitioning — the property "
+        "that lets an iterative op sit under the exact oracle gate.",
+    )
     hdr = (
         "# Physical plans — the 100 TB checklist, evidenced\n\n"
         "Captured from live `explain` output (regenerate: "

@@ -702,6 +702,7 @@ _FRONT = [
     "robots_check",
     "dedup_clusters",
     "pagerank_top",
+    "link_extract",
     "web_html_extract",
     "web_pii_redact",
     "web_url_canonical",

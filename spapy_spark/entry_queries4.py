@@ -170,6 +170,76 @@ def q_web_geohash_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINKS_SQL = (
+    "'<html><body><p>' || text || '</p>"
+    "<a class=\"x\" href=\"http://s' || (doc_id % 37) || '.ex.com/p/'"
+    " || (doc_id * 3) || '\">see <b>this</b></a>' ||"
+    " CASE WHEN doc_id % 3 >= 1 THEN"
+    " '<a href=\"/rel/' || doc_id || '\">rel ' || (doc_id % 5) || '</a>'"
+    " ELSE '' END ||"
+    " CASE WHEN doc_id % 3 >= 2 THEN"
+    " '<a href=\"https://t.ex' || (doc_id % 3) ||"
+    " '.org/q?x=' || doc_id || '\">&quot;q&quot; link</a>'"
+    " ELSE '' END || '</body></html>'"
+)
+
+
+def _links_col() -> F.Column:
+    d = F.col("doc_id")
+    l0 = F.concat(
+        F.lit('<a class="x" href="http://s'),
+        (d % 37).cast("string"),
+        F.lit(".ex.com/p/"),
+        (d * 3).cast("string"),
+        F.lit('">see <b>this</b></a>'),
+    )
+    l1 = F.when(
+        d % 3 >= 1,
+        F.concat(
+            F.lit('<a href="/rel/'), d.cast("string"), F.lit('">rel '),
+            (d % 5).cast("string"), F.lit("</a>"),
+        ),
+    ).otherwise(F.lit(""))
+    l2 = F.when(
+        d % 3 >= 2,
+        F.concat(
+            F.lit('<a href="https://t.ex'), (d % 3).cast("string"),
+            F.lit(".org/q?x="), d.cast("string"),
+            F.lit('">&quot;q&quot; link</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+        l0, l1, l2, F.lit("</body></html>"),
+    )
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor/href extraction — the link-graph edge source that feeds
+    pagerank/connected-components.  Pages carry 1-3 links (absolute,
+    relative, query-string) with markup and entities inside anchors."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.withColumn("html_text", _links_col())
+    out = web.extract_links(pages)
+    return out.orderBy("doc_id", "link_idx")
+
+
+def _link_extract_oracle_sql() -> str:
+    anchor = _strip_sql("anchors[i]")
+    return (
+        f"WITH d AS (SELECT doc_id, {_LINKS_SQL} AS html FROM documents),"
+        " x AS (SELECT doc_id,"
+        f" regexp_extract_all(html, '{web.LINK_RX}', 1) AS hrefs,"
+        f" regexp_extract_all(html, '{web.LINK_RX}', 2) AS anchors"
+        " FROM d),"
+        " s AS (SELECT doc_id, hrefs, anchors,"
+        " unnest(generate_series(1, len(hrefs))) AS i FROM x)"
+        " SELECT doc_id, CAST(i - 1 AS BIGINT) AS link_idx,"
+        f" hrefs[i] AS href, {anchor} AS anchor"
+        " FROM s ORDER BY doc_id, link_idx"
+    )
+
+
 def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 tiling rollup over rational direction vectors derived from
     doc_id — the trig-free path, so the whole chain (ratios, quadratic
@@ -514,13 +584,15 @@ def _s2_oracle_sql(level: int = _S2_LEVEL) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _html_oracle_sql() -> str:
+def _strip_sql(col: str) -> str:
+    """The html_extract_col chain in DuckDB syntax over expression
+    ``col`` (shared by the html-extract and link-anchor oracles)."""
     kills = [
         r"(?s)<script[^>]*>.*?</script>",
         r"(?s)<style[^>]*>.*?</style>",
         r"(?s)<!--.*?-->",
     ]
-    c = "h"
+    c = col
     for pat in kills:
         c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
     c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
@@ -528,7 +600,11 @@ def _html_oracle_sql() -> str:
         rep_sql = rep.replace("'", "''")
         ent_sql = ent.replace("'", "''")
         c = f"regexp_replace({c}, '{ent_sql}', '{rep_sql}', 'g')"
-    c = rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+    return rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+
+
+def _html_oracle_sql() -> str:
+    c = _strip_sql("h")
     return (
         f"WITH d AS (SELECT doc_id, {_HTML_SQL} AS h FROM documents)"
         f" SELECT doc_id, {c} AS extracted,"
@@ -689,6 +765,7 @@ def build_queries() -> dict:
         "robots_check": q_robots_check,
         "dedup_clusters": q_dedup_clusters,
         "pagerank_top": q_pagerank_top,
+        "link_extract": q_link_extract,
     }
 
 
@@ -706,4 +783,5 @@ def build_oracle_sql() -> dict:
         "robots_check": _robots_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "pagerank_top": _pagerank_oracle_sql(),
+        "link_extract": _link_extract_oracle_sql(),
     }

@@ -71,6 +71,39 @@ def html_extract(
 
 
 # ---------------------------------------------------------------------------
+# Link extraction (anchor text + href → link-graph edges)
+# ---------------------------------------------------------------------------
+
+LINK_RX = r'(?s)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html_text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per <a href> in each page: (id, link_idx, href, anchor)
+    with the anchor's inner markup stripped through the same chain as
+    html_extract.  This is the link-graph edge extractor that feeds
+    pagerank/connected-components; pure Catalyst (two regexp_extract_all
+    passes zipped + one posexplode), no shuffle."""
+    pat = F.lit(LINK_RX)
+    z = df.withColumns(
+        {
+            "_hrefs": F.regexp_extract_all(F.col(html_col), pat, F.lit(1)),
+            "_anchors": F.regexp_extract_all(F.col(html_col), pat, F.lit(2)),
+        }
+    ).select(
+        id_col,
+        F.posexplode(F.arrays_zip("_hrefs", "_anchors")).alias("link_idx", "z"),
+    )
+    return z.select(
+        id_col,
+        F.col("link_idx").cast("long").alias("link_idx"),
+        F.col("z._hrefs").alias("href"),
+        html_extract_col(F.col("z._anchors")).alias("anchor"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

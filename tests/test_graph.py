@@ -72,6 +72,28 @@ def test_dedup_clusters_canonical_flag(spark):
     assert rows[30]["cluster"] == 10 and rows[50]["cluster"] == 40
 
 
+def test_minhash_pairs_to_clusters_pipeline(spark):
+    """End-to-end dedup: near-identical docs → minhash band collisions
+    → connected components → canonical survivors."""
+    from spapy_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " x"),       # near-dup of 1
+        Row(doc_id=3, text=base + " x y"),     # near-dup of 2 (chain)
+        Row(doc_id=4, text="completely different content about spark "
+                           "engines and parquet files at scale"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = dedup.minhash_candidate_pairs(df, n_hashes=16, bands=8)
+    out = {r["node"]: r for r in graph.dedup_clusters(pairs).collect()}
+    # 1-2-3 collapse into one cluster with 1 canonical; 4 is untouched
+    assert out[1]["is_canonical"]
+    assert out[2]["cluster"] == 1 and out[3]["cluster"] == 1
+    assert 4 not in out  # no collision → never entered the pair graph
+
+
 def ref_pagerank_int(edges, nodes, n_iter=5, damping_pct=85):
     from collections import defaultdict
 

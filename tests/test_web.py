@@ -122,6 +122,32 @@ def test_tfidf_top_terms(spark):
     ]
 
 
+def test_extract_links(spark):
+    html = (
+        '<html><body><a class="x" href="http://a.io/1">see <b>this</b></a>'
+        '<p>noise</p><a href="/rel">r &amp; s</a>'
+        "<a name=anchor>no href</a></body></html>"
+    )
+    df = spark.createDataFrame([Row(doc_id=1, html_text=html)])
+    rows = web.extract_links(df).orderBy("link_idx").collect()
+    assert [(r["link_idx"], r["href"], r["anchor"]) for r in rows] == [
+        (0, "http://a.io/1", "see this"),
+        (1, "/rel", "r & s"),
+    ]
+
+
+def test_extract_links_multiline_anchor(spark):
+    html = '<a href="/x">line1\nline2</a>'
+    df = spark.createDataFrame([Row(doc_id=1, html_text=html)])
+    r = web.extract_links(df).first()
+    assert r["anchor"] == "line1 line2"
+
+
+def test_extract_links_no_links(spark):
+    df = spark.createDataFrame([Row(doc_id=1, html_text="<p>none</p>")])
+    assert web.extract_links(df).count() == 0
+
+
 ROBOTS = """User-agent: bot
 Disallow: /secret
 User-agent: *

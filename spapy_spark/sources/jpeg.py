@@ -20,8 +20,15 @@ Scope (documented boundaries, same style as png.py/geotiff.py):
   accepted), DRI/RSTn restart markers, 0xFF00 byte unstuffing.
   Entropy decode is a Python bit-walk per MCU; dequant + IDCT +
   upsample + color convert are batched numpy over all blocks.
-* Progressive (SOF2), arithmetic coding, 12-bit precision and
-  hierarchical modes raise NotImplementedError.
+* Progressive (SOF2, Huffman): full multi-scan decode — spectral
+  selection, successive approximation (DC and AC refinement bits,
+  T.81 G.1.2), EOB runs, interleaved DC / non-interleaved AC scans,
+  restart markers — plus a progressive encoder (scan scripting over
+  the same quantized coefficients as the baseline encoder, so
+  progressive and baseline decodes of the same image are bit-equal;
+  tests assert exactly that).
+* Arithmetic coding, 12-bit precision and hierarchical modes raise
+  NotImplementedError.
 """
 
 from __future__ import annotations
@@ -306,13 +313,12 @@ def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (H, W), (H, W, 1) or (H, W, 3) uint8 → baseline JFIF."""
+def _quantize_components(arr, quality, subsampling):
+    """Shared encoder front half: level shift, (optional) chroma
+    subsample, pad, DCT, quantize, zigzag.  Returns
+    (comp_blocks, sub, h, w, gray, qt_l, qt_c) — baseline and
+    progressive encoders both start from these identical coefficients,
+    which is what makes the cross-mode bit-equality test possible."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -356,6 +362,19 @@ def encode_jpeg(
         qc = np.round(coef / q).astype(np.int32)
         comp_blocks.append(qc.reshape(-1, 64)[:, _ZIGZAG]
                            .reshape(qc.shape[0], qc.shape[1], 64))
+    return comp_blocks, sub, h, w, gray, qt_l, qt_c
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W), (H, W, 1) or (H, W, 3) uint8 → baseline JFIF."""
+    comp_blocks, sub, h, w, gray, qt_l, qt_c = _quantize_components(
+        arr, quality, subsampling
+    )
 
     # --- Huffman tables
     dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
@@ -396,7 +415,8 @@ def encode_jpeg(
     bw = _BitWriter()
     ncomp = 1 if gray else 3
     preds = [0] * ncomp
-    n_mcu_y, n_mcu_x = hh // mcu_h, ww // mcu_w
+    n_mcu_y = comp_blocks[0].shape[0] // sub[0]
+    n_mcu_x = comp_blocks[0].shape[1] // sub[1]
     mcu_idx = 0
     rst = 0
     for my in range(n_mcu_y):
@@ -457,13 +477,271 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (SOF2) — scan scripting over the SAME quantized
+# coefficients as the baseline path, so cross-mode decodes are bit-equal.
+# ---------------------------------------------------------------------------
+
+# The Annex K AC tables have no EOBn (0x10..0xE0) symbols — those exist
+# only in progressive mode — so progressive scans carry their own flat
+# canonical tables: every symbol at one code length (incomplete prefix
+# code, no all-ones code, T.81-legal).
+_P_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_P_DC_VALS = list(range(16))
+_P_AC_VALS = (
+    [r << 4 for r in range(15)]                     # EOB0..EOB14
+    + [0xF0]                                        # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_P_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_P_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def default_progressive_scans(ncomp: int):
+    """libjpeg-style script: DC first at Al=1, per-component spectral
+    bands at Al=2, then two successive-approximation refinement sweeps
+    and the DC refinement."""
+    comps = list(range(ncomp))
+    script = [(comps, 0, 0, 0, 1)]
+    for ci in comps:
+        script += [([ci], 1, 5, 0, 2), ([ci], 6, 63, 0, 2)]
+    for ci in comps:
+        script.append(([ci], 1, 63, 2, 1))
+    script.append((comps, 0, 0, 1, 0))
+    for ci in comps:
+        script.append(([ci], 1, 63, 1, 0))
+    return script
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Encode uint8 (H,W[,1|3]) → progressive JFIF (SOF2, Huffman).
+
+    `scans` is a list of (component_indexes, Ss, Se, Ah, Al); the
+    default script exercises spectral selection, EOB runs and both DC
+    and AC successive-approximation refinement.
+    """
+    comp_blocks, sub, h, w, gray, qt_l, qt_c = _quantize_components(
+        arr, quality, subsampling
+    )
+    ncomp = 1 if gray else 3
+    if scans is None:
+        scans = default_progressive_scans(ncomp)
+
+    # frame metadata mirrors what the decoder reconstructs from SOF2
+    comps_meta = []
+    for ci in range(ncomp):
+        hv = sub if ci == 0 else (1, 1)
+        comps_meta.append(dict(id=ci + 1, h=hv[1], v=hv[0],
+                               tq=0 if ci == 0 else 1))
+    frame = dict(h=h, w=w, comps=comps_meta)
+    hmax = max(c["h"] for c in comps_meta)
+    vmax = max(c["v"] for c in comps_meta)
+    n_mcu_x = -(-w // (8 * hmax))
+    n_mcu_y = -(-h // (8 * vmax))
+
+    dc_tab = _canonical_codes(_P_DC_BITS, _P_DC_VALS)
+    ac_tab = _canonical_codes(_P_AC_BITS, _P_AC_VALS)
+
+    def encode_scan(comp_idx, ss, se, ah, al):
+        bw = _BitWriter()
+        rst = 0
+
+        def restart(units_done):
+            nonlocal rst
+            if restart_interval and units_done and (
+                units_done % restart_interval == 0
+            ):
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                return True
+            return False
+
+        if ss == 0 and ah == 0:         # ---- DC first
+            preds = [0] * ncomp
+            ui = 0
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    if restart(ui):
+                        preds = [0] * ncomp
+                    ui += 1
+                    for ci in comp_idx:
+                        c = comps_meta[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                zz = comp_blocks[ci][my * c["v"] + by,
+                                                     mx * c["h"] + bx]
+                                v = int(zz[0]) >> al
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                t = _bit_length(abs(diff))
+                                code, ln = dc_tab[t]
+                                bw.write(code, ln)
+                                if t:
+                                    bw.write(diff if diff >= 0
+                                             else diff + (1 << t) - 1, t)
+                    # gray ns=1 scans are decoded over the component
+                    # grid, identical to this walk for 1x1 sampling
+        elif ss == 0:                   # ---- DC refinement: raw bits
+            ui = 0
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    restart(ui)
+                    ui += 1
+                    for ci in comp_idx:
+                        c = comps_meta[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                zz = comp_blocks[ci][my * c["v"] + by,
+                                                     mx * c["h"] + bx]
+                                bw.write((int(zz[0]) >> al) & 1, 1)
+        else:                           # ---- AC scans: one component
+            (ci,) = comp_idx
+            c = comps_meta[ci]
+            bh, bwid = _comp_block_grid(frame, c)
+            state = {"eobrun": 0, "be": []}
+
+            def emit_eobrun():
+                n = state["eobrun"]
+                if n > 0:
+                    r = n.bit_length() - 1
+                    code, ln = ac_tab[r << 4]
+                    bw.write(code, ln)
+                    if r:
+                        bw.write(n - (1 << r), r)
+                    state["eobrun"] = 0
+                for b in state["be"]:
+                    bw.write(b, 1)
+                state["be"] = []
+
+            bi = 0
+            for by in range(bh):
+                for bx in range(bwid):
+                    if restart_interval and bi and (
+                        bi % restart_interval == 0
+                    ):
+                        emit_eobrun()
+                        bw.flush()
+                        bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                        rst += 1
+                    bi += 1
+                    zz = comp_blocks[ci][by, bx]
+                    if ah == 0:         # first scan for this band
+                        vals = []
+                        for k in range(ss, se + 1):
+                            cv = int(zz[k])
+                            mag = abs(cv) >> al
+                            vals.append(mag if cv >= 0 else -mag)
+                        nz = [i for i, v in enumerate(vals) if v]
+                        if not nz:
+                            state["eobrun"] += 1
+                            if state["eobrun"] == 0x7FFF:
+                                emit_eobrun()
+                            continue
+                        r = 0
+                        for i in range(nz[-1] + 1):
+                            v = vals[i]
+                            if v == 0:
+                                r += 1
+                                continue
+                            emit_eobrun()
+                            while r > 15:
+                                code, ln = ac_tab[0xF0]
+                                bw.write(code, ln)
+                                r -= 16
+                            t = _bit_length(abs(v))
+                            code, ln = ac_tab[(r << 4) | t]
+                            bw.write(code, ln)
+                            bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+                            r = 0
+                        if nz[-1] < se - ss:
+                            state["eobrun"] += 1
+                            if state["eobrun"] == 0x7FFF:
+                                emit_eobrun()
+                    else:               # refinement (G.1.2.3 encoder)
+                        mags = [abs(int(zz[k])) >> al
+                                for k in range(ss, se + 1)]
+                        eob_i = -1
+                        for i, m in enumerate(mags):
+                            if m == 1:
+                                eob_i = i
+                        r = 0
+                        br = []
+                        for i, m in enumerate(mags):
+                            if m == 0:
+                                r += 1
+                                continue
+                            while r > 15 and i <= eob_i:
+                                emit_eobrun()
+                                code, ln = ac_tab[0xF0]
+                                bw.write(code, ln)
+                                r -= 16
+                                for b in br:
+                                    bw.write(b, 1)
+                                br = []
+                            if m > 1:
+                                br.append(m & 1)
+                                continue
+                            emit_eobrun()
+                            code, ln = ac_tab[(r << 4) | 1]
+                            bw.write(code, ln)
+                            bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                            for b in br:
+                                bw.write(b, 1)
+                            br = []
+                            r = 0
+                        if r > 0 or br:
+                            state["eobrun"] += 1
+                            state["be"].extend(br)
+                            if state["eobrun"] == 0x7FFF or (
+                                len(state["be"]) > 900
+                            ):
+                                emit_eobrun()
+            emit_eobrun()
+        bw.flush()
+        return bw.out
+
+    # --- headers
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l.reshape(-1)[_ZIGZAG].tolist()))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c.reshape(-1)[_ZIGZAG]
+                                            .tolist()))
+    fcomps = b""
+    for c in comps_meta:
+        fcomps += bytes([c["id"], (c["h"] << 4) | c["v"],
+                         0 if gray or c["id"] == 1 else 1])
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + fcomps)
+    out += seg(0xC4, bytes([0x00]) + bytes(_P_DC_BITS) + bytes(_P_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_P_AC_BITS) + bytes(_P_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for comp_idx, ss, se, ah, al in scans:
+        scomp = b"".join(bytes([comps_meta[ci]["id"], 0x00])
+                         for ci in comp_idx)
+        out += seg(0xDA, bytes([len(comp_idx)]) + scomp
+                   + bytes([ss, se, (ah << 4) | al]))
+        out += encode_scan(comp_idx, ss, se, ah, al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline/extended-sequential JPEG → (H, W, C) uint8
-    (C = 1 grayscale, 3 RGB)."""
+    """Decode baseline/extended-sequential/progressive JPEG →
+    (H, W, C) uint8 (C = 1 grayscale, 3 RGB)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -471,6 +749,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coefs = None                # progressive: accumulated across scans
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -507,7 +787,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[off + 17:off + 17 + n])
                 huff[(cls, tid)] = _HuffDecoder(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -516,11 +797,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append(dict(id=cid, h=samp >> 4, v=samp & 0xF, tq=tq))
             frame = dict(h=fh, w=fw, comps=comps)
-        elif marker in (0xC2, 0xC3, *range(0xC5, 0xC8),
+        elif marker in (0xC3, *range(0xC5, 0xC8),
                         *range(0xC9, 0xCC), *range(0xCD, 0xD0)):
             raise NotImplementedError(
                 f"JPEG mode SOF{marker - 0xC0} (only baseline/extended"
-                " sequential Huffman supported)"
+                " sequential/progressive Huffman supported)"
             )
         elif marker == 0xDD:    # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -530,8 +811,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            return _decode_scan(data, pos, frame, scan, qts, huff,
-                                restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if not progressive:
+                return _decode_scan(data, pos, frame, scan, qts, huff,
+                                    restart_interval)
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_scan_progressive(
+                data, pos, frame, scan, qts, huff, restart_interval,
+                coefs, ss, se, ahal >> 4, ahal & 0xF,
+            )
+    if progressive and coefs is not None:
+        return _reconstruct(frame, coefs, qts)
     raise ValueError("no SOS marker found")
 
 
@@ -598,7 +890,185 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart_interval):
                                        mx * c["h"] + bx] = zz
             mcu_idx += 1
 
-    # --- batched dequant + IDCT + reassembly per component
+    return _reconstruct(frame, coefs, qts)
+
+
+def _alloc_coefs(frame):
+    """Per-component zigzag coefficient store at MCU-padded size."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    n_mcu_x = -(-frame["w"] // (8 * hmax))
+    n_mcu_y = -(-frame["h"] // (8 * vmax))
+    return {
+        c["id"]: np.zeros((n_mcu_y * c["v"], n_mcu_x * c["h"], 64), np.int32)
+        for c in comps
+    }
+
+
+def _comp_block_grid(frame, c):
+    """(blocks_y, blocks_x) a NON-interleaved scan covers for component
+    `c`: ceil of the component's true sample dims (T.81 A.2.2), which
+    is ≤ the MCU-padded allocation."""
+    hmax = max(k["h"] for k in frame["comps"])
+    vmax = max(k["v"] for k in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _expect_rst(reader, data):
+    reader.align_to_marker()
+    if data[reader.pos] != 0xFF or not (
+        0xD0 <= data[reader.pos + 1] <= 0xD7
+    ):
+        raise ValueError("expected RST marker")
+    reader.pos += 2
+
+
+def _decode_scan_progressive(data, pos, frame, scan, qts, huff,
+                             restart_interval, coefs, ss, se, ah, al):
+    """One progressive scan (T.81 G.1.2): DC first/refine (interleaved
+    or single-component), AC first/refine with EOB runs.  Mutates
+    `coefs` in place; returns the stream offset of the next marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    reader = _BitReader(data, pos)
+
+    if ss == 0:                       # ---- DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        order = [(by_id[cs], huff.get((0, td))) for cs, td, _ in scan]
+        preds = {c["id"]: 0 for c, _ in order}
+        if len(order) > 1:
+            # interleaved MCU walk (the usual progressive DC scan)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            n_mcu_x = -(-frame["w"] // (8 * hmax))
+            n_mcu_y = -(-frame["h"] // (8 * vmax))
+            units = []
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    blocks = []
+                    for c, dc_t in order:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blocks.append((c, dc_t,
+                                               my * c["v"] + by,
+                                               mx * c["h"] + bx))
+                    units.append(blocks)
+        else:
+            c, dc_t = order[0]
+            bh, bw = _comp_block_grid(frame, c)
+            units = [[(c, dc_t, by, bx)]
+                     for by in range(bh) for bx in range(bw)]
+        for ui, blocks in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                _expect_rst(reader, data)
+                preds = {k: 0 for k in preds}
+            for c, dc_t, by, bx in blocks:
+                zz = coefs[c["id"]][by, bx]
+                if ah == 0:           # first scan
+                    t = dc_t.decode(reader)
+                    diff = _extend(reader.receive(t), t) if t else 0
+                    preds[c["id"]] += diff
+                    zz[0] = preds[c["id"]] << al
+                else:                 # refinement: one bit, OR'd in
+                    if reader.read_bit():
+                        zz[0] |= 1 << al
+    else:                             # ---- AC scan: single component
+        if len(scan) != 1:
+            raise ValueError("interleaved AC scan in progressive mode")
+        cs, _, ta = scan[0]
+        c = by_id[cs]
+        ac_t = huff[(1, ta)]
+        bh, bw = _comp_block_grid(frame, c)
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        bi = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    _expect_rst(reader, data)
+                    eobrun = 0
+                bi += 1
+                zz = coefs[c["id"]][by, bx]
+                if ah == 0:           # ---- first scan for this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = ac_t.decode(reader)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            k += 16   # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(reader.receive(s), s) << al
+                            k += 1
+                else:                 # ---- refinement (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = ac_t.decode(reader)
+                            r, s = rs >> 4, rs & 0xF
+                            sval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.receive(r)
+                                    break
+                                # r == 15: run of 16 zero-history coefs
+                            else:
+                                sval = p1 if reader.read_bit() else m1
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if reader.read_bit() and not (
+                                        zz[k] & p1
+                                    ):
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if sval and k <= se:
+                                zz[k] = sval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if zz[k] != 0:
+                                if reader.read_bit() and not (zz[k] & p1):
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # Skip to the next true marker (tolerate pad bits / stray RSTs).
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return p
+
+
+def _reconstruct(frame, coefs, qts):
+    """Batched dequant + IDCT + reassembly per component (shared by
+    the sequential and progressive paths)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qts[c["tq"]]

@@ -140,11 +140,11 @@ class TestErrors:
         with pytest.raises(ValueError):
             jpeg.decode_jpeg(b"\x89PNG\r\n")
 
-    def test_progressive_rejected(self):
+    def test_arithmetic_sof_rejected(self):
         img = _img(16, 16, 1)
         enc = bytearray(jpeg.encode_jpeg(img))
         i = enc.find(b"\xff\xc0")
-        enc[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+        enc[i + 1] = 0xC9  # SOF9 (arithmetic sequential)
         with pytest.raises(NotImplementedError):
             jpeg.decode_jpeg(bytes(enc))
 
@@ -154,6 +154,101 @@ class TestErrors:
         assert zz[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
         assert zz[-4:].tolist() == [47, 55, 62, 63]
         assert sorted(zz.tolist()) == list(range(64))
+
+
+class TestProgressive:
+    """Progressive (SOF2) scans accumulate into the SAME quantized
+    coefficients the baseline encoder writes, so decode(progressive)
+    must equal decode(baseline) BIT-FOR-BIT on every visible pixel —
+    a full cross-mode oracle with no external decoder."""
+
+    @pytest.mark.parametrize("quality", [40, 85])
+    def test_gray_bit_equal_to_baseline(self, quality):
+        img = _img(40, 33, 1, seed=quality)  # odd width → edge blocks
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=quality)
+        )
+        np.testing.assert_array_equal(prog, base)
+
+    def test_rgb_444_bit_equal(self):
+        img = _img(37, 29, 3, seed=7)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=80))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=80)
+        )
+        np.testing.assert_array_equal(prog, base)
+
+    def test_rgb_420_bit_equal(self):
+        # subsampled chroma: non-interleaved AC scans walk a smaller
+        # component grid than luma; 24-high image makes the luma MCU
+        # padding row differ from the ceil(h/8) scan grid
+        img = _smooth(24, 40)
+        base = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=85, subsampling="4:2:0")
+        )
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=85,
+                                         subsampling="4:2:0")
+        )
+        np.testing.assert_array_equal(prog, base)
+
+    def test_flat_image_exercises_eob_runs(self):
+        # constant image → every AC band scan is one long EOB run
+        img = np.full((64, 64, 1), 130, np.uint8)
+        enc = jpeg.encode_jpeg_progressive(img, quality=85)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+        np.testing.assert_array_equal(jpeg.decode_jpeg(enc), base)
+        # and the run actually compressed: far fewer bytes than one
+        # EOB symbol per block per AC scan would need
+        assert len(enc) < 2200
+
+    def test_restart_markers_in_progressive_scans(self):
+        img = _img(48, 40, 1, seed=11)
+        plain = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img))
+        enc = jpeg.encode_jpeg_progressive(img, restart_interval=3)
+        np.testing.assert_array_equal(jpeg.decode_jpeg(enc), plain)
+        assert any(
+            enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+            for i in range(2, len(enc) - 3)
+        )
+
+    def test_custom_scan_script_spectral_only(self):
+        # spectral selection without successive approximation
+        img = _img(32, 32, 1, seed=2)
+        scans = [
+            ([0], 0, 0, 0, 0),
+            ([0], 1, 9, 0, 0),
+            ([0], 10, 63, 0, 0),
+        ]
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=75))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=75, scans=scans)
+        )
+        np.testing.assert_array_equal(prog, base)
+
+    def test_multimodal_decodes_progressive(self, spark):
+        from spapy_spark.operators import multimodal
+
+        img = _smooth(24, 24)
+        payload = jpeg.encode_jpeg_progressive(img, quality=90)
+        df = spark.createDataFrame(
+            [(0, bytearray(payload), (24, 24, 3, 0, 1))],
+            "media_id long, payload binary, "
+            "meta struct<width:int,height:int,channels:int,"
+            "sample_rate:int,n_frames:int>",
+        )
+        feats = multimodal.image_features(df, n_bins=4,
+                                          fake=False).collect()
+        assert len(feats) == 1
+        dec = jpeg.decode_jpeg(payload)
+        got = np.array(feats[0]["features"], np.float32).reshape(3, 4)
+        for ch in range(3):
+            h = np.bincount(
+                dec[:, :, ch].ravel().astype(np.int64) * 4 // 256,
+                minlength=4,
+            )
+            np.testing.assert_allclose(got[ch], h / h.sum(), rtol=1e-6)
 
 
 class TestSparkPipeline:

@@ -146,6 +146,9 @@ def main():
                 "web_geohash_tiles",
                 "s2_tiles",
                 "warc_extract",
+                "doc_repetition",
+                "lm_bigram_bits",
+                "corpus_sample",
             )
         )
         queries = eq.build_queries()

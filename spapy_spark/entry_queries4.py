@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .entry_queries import PTS_SQL, derived_points, load
-from .operators import s2, web
+from .operators import s2, sample, text, web
 
 # ---------------------------------------------------------------------------
 # Shared derivations (Spark + SQL twins)
@@ -579,6 +579,115 @@ def _s2_oracle_sql(level: int = _S2_LEVEL) -> str:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.py
+    repetition_stats): top-bigram fraction + duplicate-trigram
+    fraction, exact integer counts with single-IEEE-divide ratios."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_stats(docs).orderBy("doc_id")
+
+
+def q_lm_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram-LM surprisal per doc, quantized to
+    integer bits via exact floor-log2 (operators/text.py
+    lm_bigram_bits) — the cross-engine-safe perplexity stand-in."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.lm_bigram_bits(docs).orderBy("doc_id")
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket Bernoulli sample (37%) then a per-domain
+    stratified cap of 40 picked by hash order (operators/sample.py) —
+    the reproducible-subset + per-domain-balancing pipeline step."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    seeded = docs.withColumn(
+        "domain",
+        F.concat(
+            F.lit("example"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com"),
+        ),
+    )
+    samp = sample.hash_sample(seeded, "doc_id", pct=37)
+    capped = sample.stratified_cap(samp, "domain", k=40, id_col="doc_id")
+    return capped.select("doc_id", "domain", "bucket", "rk").orderBy("doc_id")
+
+
+def _repetition_oracle_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        " FROM documents),"
+        " bi AS (SELECT doc_id, tk,"
+        " unnest(generate_series(1, len(tk) - 1)) AS i"
+        " FROM t WHERE len(tk) >= 2),"
+        " bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg FROM bi),"
+        " bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg"
+        " GROUP BY doc_id, bg),"
+        " bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,"
+        " CAST(max(c) AS BIGINT) AS top_bigram_n FROM bgc GROUP BY doc_id),"
+        " ti AS (SELECT doc_id, tk,"
+        " unnest(generate_series(1, len(tk) - 2)) AS i"
+        " FROM t WHERE len(tk) >= 3),"
+        " tg AS (SELECT doc_id,"
+        " tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tri FROM ti),"
+        " tstats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,"
+        " CAST(count(DISTINCT tri) AS BIGINT) AS n_distinct_tri FROM tg"
+        " GROUP BY doc_id)"
+        " SELECT doc_id, n_bigrams, top_bigram_n,"
+        " CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,"
+        " n_trigrams,"
+        " CAST(n_trigrams - n_distinct_tri AS DOUBLE) / n_trigrams"
+        " AS dup_trigram_frac"
+        " FROM bstats JOIN tstats USING (doc_id) ORDER BY doc_id"
+    )
+
+
+def _lm_bigram_oracle_sql() -> str:
+    # length(bin(x)) - 1 == floor(log2(x)) exactly (same trick as the
+    # Spark side's length(bin(col)) - 1) — no float log anywhere
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk"
+        " FROM documents),"
+        " tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),"
+        " c1 AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),"
+        " vv AS (SELECT count(DISTINCT tok) AS v FROM tok),"
+        " bi AS (SELECT doc_id, tk,"
+        " unnest(generate_series(1, len(tk) - 1)) AS i"
+        " FROM t WHERE len(tk) >= 2),"
+        " e AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM bi),"
+        " c2 AS (SELECT w1, w2, count(*) AS c2 FROM e GROUP BY w1, w2),"
+        " j AS (SELECT e.doc_id,"
+        " (length(bin(c1.c1 + vv.v)) - 1) - (length(bin(c2.c2 + 1)) - 1)"
+        " AS bits"
+        " FROM e JOIN c2 USING (w1, w2) JOIN c1 ON e.w1 = c1.tok"
+        " CROSS JOIN vv),"
+        " a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+        " CAST(sum(bits) AS BIGINT) AS bits FROM j GROUP BY doc_id)"
+        " SELECT doc_id, n_bigrams, bits,"
+        " CAST(bits AS DOUBLE) / n_bigrams AS bits_per_bigram"
+        " FROM a ORDER BY doc_id"
+    )
+
+
+_BUCKET_SQL = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+)
+
+
+def _corpus_sample_oracle_sql(pct: int = 37, k: int = 40) -> str:
+    return (
+        "WITH d AS (SELECT doc_id,"
+        " 'example' || (doc_id % 3) || '.com' AS domain FROM documents),"
+        f" b AS (SELECT doc_id, domain, {_BUCKET_SQL} % 100 AS bucket"
+        " FROM d),"
+        f" s AS (SELECT * FROM b WHERE bucket < {pct}),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY domain"
+        f" ORDER BY {_BUCKET_SQL} % 268435456, doc_id) AS rk FROM s)"
+        " SELECT doc_id, domain, bucket, CAST(rk AS BIGINT) AS rk"
+        f" FROM r WHERE rk <= {k} ORDER BY doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -766,6 +875,9 @@ def build_queries() -> dict:
         "dedup_clusters": q_dedup_clusters,
         "pagerank_top": q_pagerank_top,
         "link_extract": q_link_extract,
+        "doc_repetition": q_doc_repetition,
+        "lm_bigram_bits": q_lm_bigram_bits,
+        "corpus_sample": q_corpus_sample,
     }
 
 
@@ -784,4 +896,7 @@ def build_oracle_sql() -> dict:
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "pagerank_top": _pagerank_oracle_sql(),
         "link_extract": _link_extract_oracle_sql(),
+        "doc_repetition": _repetition_oracle_sql(),
+        "lm_bigram_bits": _lm_bigram_oracle_sql(),
+        "corpus_sample": _corpus_sample_oracle_sql(),
     }

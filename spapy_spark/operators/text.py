@@ -149,3 +149,120 @@ def text_sha256(
     """Cryptographic per-row fingerprint of the text bytes — the
     stage-over-stage byte-identity guard (input_hint invariant)."""
     return df.withColumn(out, F.sha2(F.col(text_col), 256))
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style) + n-gram LM surprisal
+# ---------------------------------------------------------------------------
+
+
+def _ngram_array(text_col: str, n: int) -> F.Column:
+    """Word n-grams of a space-separated text column as an array of
+    space-joined strings; docs shorter than ``n`` tokens yield an empty
+    array (no padding tokens are ever invented)."""
+    t = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({t}) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size({t}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({t}, i, {n}))) END"
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition signals (the Gopher/MassiveText family of
+    filters): most-frequent-bigram fraction and duplicate-trigram
+    fraction.  High values flag boilerplate/spam pages for removal
+    before LLM training.
+
+    All counts are exact integers; the two fractions are single IEEE
+    divides of those integers (bit-identical across engines).  Two
+    map-side-combined aggregations keyed by doc_id — scales as a plain
+    word-count.  Docs shorter than 3 tokens have no trigrams and drop
+    out (inner join; documented, not padded).
+    """
+    bg = df.select(id_col, F.explode(_ngram_array(text_col, 2)).alias("bg"))
+    bgc = bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    bstats = bgc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+    )
+    tri = df.select(id_col, F.explode(_ngram_array(text_col, 3)).alias("tri"))
+    tstats = tri.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.countDistinct("tri").alias("n_distinct_tri"),
+    )
+    return bstats.join(tstats, id_col).select(
+        id_col,
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("top_bigram_n").cast("long").alias("top_bigram_n"),
+        (F.col("top_bigram_n") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        (
+            (F.col("n_trigrams") - F.col("n_distinct_tri"))
+            / F.col("n_trigrams")
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def _ilog2(c: F.Column) -> F.Column:
+    """floor(log2(x)) for positive integers, computed EXACTLY as
+    bit-length - 1 (``length(bin(x)) - 1``) — no float log anywhere, so
+    the quantized surprisal below is integer-deterministic on any
+    engine and any summation order."""
+    return F.length(F.bin(c)) - F.lit(1)
+
+
+def lm_bigram_bits(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram-LM surprisal per document — the KenLM-style
+    quality signal (fluent text scores low, gibberish high), quantized
+    to integer bits so the score is bit-exact at any scale.
+
+    Model: add-one-smoothed bigram LM over the corpus itself.  Each
+    bigram (w1, w2) contributes ``ilog2(c1(w1) + V) - ilog2(c2(w1,w2)
+    + 1)`` bits — the floor-log2 quantization of -log2 P(w2 | w1) —
+    where c1/c2 are corpus unigram/bigram counts and V the vocabulary
+    size.  Integer everywhere: the per-doc sum is order-independent,
+    unlike a float ln() sum (the usual cross-engine perplexity trap).
+
+    Plan shape: token explode → two map-side-combined count aggs (the
+    term and bigram dictionaries), one shuffle join of the bigram
+    stream on (w1, w2), one broadcast-sized join on w1, final agg on
+    doc_id.  Dictionaries ≪ corpus (bounded vocab), so at 100 TB the
+    joins broadcast or SMJ as AQE stats dictate — no driver collect.
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    c1 = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.countDistinct("tok").alias("v"))
+    t = f"split({text_col}, ' ')"
+    pairs = F.expr(
+        f"CASE WHEN size({t}) < 2 THEN array()"
+        f" ELSE transform(sequence(1, size({t}) - 1),"
+        f" i -> named_struct('w1', element_at({t}, i),"
+        f" 'w2', element_at({t}, i + 1))) END"
+    )
+    e = df.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = e.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    j = (
+        e.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    bits = _ilog2(F.col("c1") + F.col("v")) - _ilog2(F.col("c2") + F.lit(1))
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(bits).alias("bits"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("bits").cast("long").alias("bits"),
+        (F.col("bits") / F.col("n_bigrams")).alias("bits_per_bigram"),
+    )

@@ -149,6 +149,8 @@ def main():
                 "doc_repetition",
                 "lm_bigram_bits",
                 "corpus_sample",
+                "text_normalize",
+                "inverted_index",
             )
         )
         queries = eq.build_queries()

@@ -697,6 +697,11 @@ def _raster_sample_oracle_sql() -> str:
 # r1 and are trivially re-verifiable plain SQL — if a cap drops rows,
 # it drops the ones with the longest green history.
 _FRONT = [
+    "doc_repetition",
+    "lm_bigram_bits",
+    "corpus_sample",
+    "text_normalize",
+    "inverted_index",
     "s2_tiles",
     "warc_extract",
     "robots_check",

@@ -613,6 +613,76 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "domain", "bucket", "rk").orderBy("doc_id")
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowercase + non-alphanumeric collapse normalization
+    (operators/text.py normalize_text) over a punctuation/case-seeded
+    derivation of the documents table, plus the md5 of the normalized
+    form (the case/punct-robust dedup key)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.withColumn(
+        "noisy",
+        F.concat(
+            F.upper(F.substring("text", 1, 10)),
+            F.lit("!!  "),
+            F.col("text"),
+            F.lit(" ... #"),
+            (F.col("doc_id") % 13).cast("string"),
+        ),
+    )
+    out = text.normalize_text(seeded, "noisy", out="norm")
+    return out.select(
+        "doc_id",
+        "norm",
+        F.md5("norm").alias("norm_md5"),
+        F.length("norm").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-postings inverted index (operators/text.py
+    inverted_index): per-term occurrence/doc counts + the first 10 doc
+    ids, the WindowGroupLimit-capped search-index build."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.inverted_index(docs, k_postings=10).orderBy("tok")
+
+
+_NOISY_SQL = (
+    "upper(substr(text, 1, 10)) || '!!  ' || text || ' ... #'"
+    " || (doc_id % 13)"
+)
+
+
+def _text_normalize_oracle_sql() -> str:
+    norm = (
+        "trim(regexp_replace(lower(noisy), '[^a-z0-9]+', ' ', 'g'))"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {_NOISY_SQL} AS noisy FROM documents),"
+        f" n AS (SELECT doc_id, {norm} AS norm FROM d)"
+        " SELECT doc_id, norm, md5(norm) AS norm_md5,"
+        " CAST(length(norm) AS BIGINT) AS n_chars"
+        " FROM n ORDER BY doc_id"
+    )
+
+
+def _inverted_index_oracle_sql(k: int = 10) -> str:
+    return (
+        "WITH t AS (SELECT doc_id,"
+        " unnest(string_split(text, ' ')) AS tok FROM documents),"
+        " td AS (SELECT tok, doc_id, count(*) AS c FROM t"
+        " GROUP BY tok, doc_id),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY tok"
+        " ORDER BY doc_id) AS rk FROM td),"
+        " p AS (SELECT tok,"
+        " array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings"
+        f" FROM r WHERE rk <= {k} GROUP BY tok),"
+        " s AS (SELECT tok, CAST(sum(c) AS BIGINT) AS n_occurrences,"
+        " CAST(count(*) AS BIGINT) AS n_docs FROM td GROUP BY tok)"
+        " SELECT tok, n_occurrences, n_docs, postings"
+        " FROM s JOIN p USING (tok) ORDER BY tok"
+    )
+
+
 def _repetition_oracle_sql() -> str:
     return (
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk"
@@ -878,6 +948,8 @@ def build_queries() -> dict:
         "doc_repetition": q_doc_repetition,
         "lm_bigram_bits": q_lm_bigram_bits,
         "corpus_sample": q_corpus_sample,
+        "text_normalize": q_text_normalize,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -899,4 +971,6 @@ def build_oracle_sql() -> dict:
         "doc_repetition": _repetition_oracle_sql(),
         "lm_bigram_bits": _lm_bigram_oracle_sql(),
         "corpus_sample": _corpus_sample_oracle_sql(),
+        "text_normalize": _text_normalize_oracle_sql(),
+        "inverted_index": _inverted_index_oracle_sql(),
     }

@@ -11,7 +11,7 @@ query in entry_queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
 
@@ -265,4 +265,68 @@ def lm_bigram_bits(
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.col("bits").cast("long").alias("bits"),
         (F.col("bits") / F.col("n_bigrams")).alias("bits_per_bigram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization + inverted index
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out: str = "norm"
+) -> DataFrame:
+    """Canonical pre-tokenization normalization: lowercase, map every
+    non-alphanumeric run to one space, trim.  One regexp_replace
+    codegen chain, zero shuffle — the step that makes exact-dedup
+    hashes robust to case/punctuation noise (RE2-safe pattern, same
+    bytes out of any engine)."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return df.withColumn(out, F.trim(c))
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_postings: int = 10,
+) -> DataFrame:
+    """Search-index build: per term, total occurrences, document
+    frequency, and the first ``k_postings`` doc ids (ascending) as a
+    comma-joined posting sample.
+
+    Scale shape: the per-term doc list is CAPPED BEFORE collection —
+    a row_number window with a pushed WindowGroupLimit keeps at most
+    k rows per term ahead of the exchange, so a stop-word's billion
+    postings never materialize in one task (the classic index-build
+    OOM).  Counts aggregate separately map-side-combined; one join on
+    the term key puts stats and postings back together."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    td = toks.groupBy("tok", id_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("tok").orderBy(id_col)
+    postings = (
+        td.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k_postings)
+        .groupBy("tok")
+        .agg(
+            # sort NUMERICALLY first, stringify after — string sort
+            # would put doc 10 before doc 2
+            F.array_join(
+                F.expr(
+                    f"transform(sort_array(collect_list({id_col})),"
+                    " x -> cast(x as string))"
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    stats = td.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return stats.join(postings, "tok").select(
+        "tok", "n_occurrences", "n_docs", "postings"
     )

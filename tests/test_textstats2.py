@@ -178,6 +178,58 @@ def test_stratified_cap(spark):
             _bucket(i, 1 << 28), i))
 
 
+# ---------------------------------------------------------------------------
+# normalize_text + inverted_index
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [Row(text="  Hello,   WORLD!! it's 42&co --- ")]
+    )
+    out = text.normalize_text(df).select("norm").first()[0]
+    assert out == "hello world it s 42 co"
+
+
+def test_inverted_index_brute(spark):
+    docs = {
+        0: "a b a c",
+        1: "b c c",
+        2: "a d",
+        3: "d d d",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()]
+    )
+    got = {
+        r["tok"]: (r["n_occurrences"], r["n_docs"], r["postings"])
+        for r in text.inverted_index(df, k_postings=2).collect()
+    }
+    exp = {}
+    occ = Counter()
+    by_tok = {}
+    for did, t in docs.items():
+        for tok in t.split(" "):
+            occ[tok] += 1
+            by_tok.setdefault(tok, set()).add(did)
+    for tok, ids in by_tok.items():
+        exp[tok] = (
+            occ[tok],
+            len(ids),
+            ",".join(str(i) for i in sorted(ids)[:2]),
+        )
+    assert got == exp
+
+
+def test_inverted_index_postings_numeric_order(spark):
+    # doc 10 must sort after doc 2 (numeric, not lexicographic)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="z") for i in (10, 2, 1)]
+    )
+    r = text.inverted_index(df, k_postings=10).first()
+    assert r["postings"] == "1,2,10"
+
+
 def test_hash_sample_pct_bounds(spark):
     df = spark.createDataFrame([Row(doc_id=1)])
     with pytest.raises(ValueError):

@@ -172,6 +172,29 @@ def main():
         "the result identical under any partitioning — the property "
         "that lets an iterative op sit under the exact oracle gate.",
     )
+    from spapy_spark.operators import sample, text as textops  # noqa: E402
+
+    inv = textops.inverted_index(docs.select("doc_id", "text"))
+    cap(
+        "Inverted-index build (posting cap BEFORE collection)", inv,
+        "The per-term posting sample is capped by a "
+        "`WindowGroupLimit` (visible above the window's exchange as "
+        "a partial limit), so a stop-word's postings never "
+        "materialize in one task; occurrence/doc counts "
+        "partial-aggregate separately and rejoin on the term key.",
+    )
+    samp = sample.stratified_cap(
+        sample.hash_sample(docs.select("doc_id", "lang"), "doc_id", 37),
+        "lang", k=40, id_col="doc_id",
+    )
+    cap(
+        "Deterministic sample + stratified cap (filter at the scan)",
+        samp,
+        "The md5-bucket Bernoulli filter runs in the scan's codegen "
+        "stage (no shuffle, partitioning-invariant); the per-stratum "
+        "cap is one exchange on the stratum key with the rank "
+        "limited by WindowGroupLimit before it.",
+    )
     hdr = (
         "# Physical plans — the 100 TB checklist, evidenced\n\n"
         "Captured from live `explain` output (regenerate: "

@@ -151,6 +151,8 @@ def main():
                 "corpus_sample",
                 "text_normalize",
                 "inverted_index",
+                "dup_spans",
+                "contamination",
             )
         )
         queries = eq.build_queries()

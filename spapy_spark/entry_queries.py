@@ -697,6 +697,8 @@ def _raster_sample_oracle_sql() -> str:
 # r1 and are trivially re-verifiable plain SQL — if a cap drops rows,
 # it drops the ones with the longest green history.
 _FRONT = [
+    "dup_spans",
+    "contamination",
     "doc_repetition",
     "lm_bigram_bits",
     "corpus_sample",

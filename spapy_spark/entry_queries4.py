@@ -646,6 +646,67 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.inverted_index(docs, k_postings=10).orderBy("tok")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (operators/dedup.py dup_spans):
+    per-doc count of 8-token windows occurring anywhere else in the
+    corpus — the suffix-array-dedup signal via shingle hashes."""
+    from .operators import dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.dup_spans(docs, n=8).orderBy("doc_id")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py contamination):
+    8-token-window overlap of every doc against a deterministic eval
+    subset (doc_id % 50 == 0) — eval docs must self-report ~100%."""
+    from .operators import dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    return dedup.contamination(docs, ev, n=8).orderBy("doc_id")
+
+
+_SHINGLE8_CTE = (
+    "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),"
+    " si AS (SELECT doc_id, tk,"
+    " unnest(generate_series(1, len(tk) - 7)) AS i"
+    " FROM t WHERE len(tk) >= 8),"
+    " sh AS (SELECT doc_id, i AS pos,"
+    " md5(array_to_string(tk[i:i+7], ' ')) AS h FROM si)"
+)
+
+
+def _dup_spans_oracle_sql() -> str:
+    return (
+        f"WITH {_SHINGLE8_CTE},"
+        " c AS (SELECT h, count(*) AS n_occ FROM sh GROUP BY h),"
+        " j AS (SELECT sh.doc_id, c.n_occ FROM sh JOIN c USING (h)),"
+        " a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,"
+        " CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_dup_spans FROM j GROUP BY doc_id)"
+        " SELECT doc_id, n_spans, n_dup_spans,"
+        " CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_span_frac"
+        " FROM a ORDER BY doc_id"
+    )
+
+
+def _contamination_oracle_sql() -> str:
+    return (
+        f"WITH {_SHINGLE8_CTE},"
+        " ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),"
+        " j AS (SELECT sh.doc_id,"
+        " CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END AS hit"
+        " FROM sh LEFT JOIN ev ON sh.h = ev.h),"
+        " a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,"
+        " CAST(sum(hit) AS BIGINT) AS n_eval_spans FROM j"
+        " GROUP BY doc_id)"
+        " SELECT doc_id, n_spans, n_eval_spans,"
+        " CAST(n_eval_spans AS DOUBLE) / n_spans AS contamination_frac"
+        " FROM a ORDER BY doc_id"
+    )
+
+
 _NOISY_SQL = (
     "upper(substr(text, 1, 10)) || '!!  ' || text || ' ... #'"
     " || (doc_id % 13)"
@@ -950,6 +1011,8 @@ def build_queries() -> dict:
         "corpus_sample": q_corpus_sample,
         "text_normalize": q_text_normalize,
         "inverted_index": q_inverted_index,
+        "dup_spans": q_dup_spans,
+        "contamination": q_contamination,
     }
 
 
@@ -973,4 +1036,6 @@ def build_oracle_sql() -> dict:
         "corpus_sample": _corpus_sample_oracle_sql(),
         "text_normalize": _text_normalize_oracle_sql(),
         "inverted_index": _inverted_index_oracle_sql(),
+        "dup_spans": _dup_spans_oracle_sql(),
+        "contamination": _contamination_oracle_sql(),
     }

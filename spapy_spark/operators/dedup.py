@@ -355,3 +355,108 @@ def hamming_pairs(
     return pairs.withColumn("dist", dist).where(
         F.col("dist") <= max_dist
     ).select("id_a", "id_b", "dist")
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicate spans + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, h) for every n-token window: h = md5 of the
+    space-joined window (the engine-portable shingle key).  Docs
+    shorter than n tokens emit nothing."""
+    t = f"split({text_col}, ' ')"
+    spans = F.expr(
+        f"CASE WHEN size({t}) < {n} THEN array()"
+        f" ELSE transform(sequence(1, size({t}) - {n - 1}),"
+        f" i -> named_struct('pos', i,"
+        f" 'h', md5(concat_ws(' ', slice({t}, i, {n}))))) END"
+    )
+    return df.select(id_col, F.explode(spans).alias("s")).select(
+        id_col,
+        F.col("s.pos").cast("long").alias("pos"),
+        F.col("s.h").alias("h"),
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Substring-level duplication: per doc, how many of its n-token
+    windows occur anywhere else in the corpus (including elsewhere in
+    the same doc).  The span-granular signal behind suffix-array text
+    dedup (duplicated passages hurt LLM training even when whole-doc
+    hashes differ), computed with shingle hashes instead of a suffix
+    array: same detection set for fixed n, and it distributes as a
+    word-count.
+
+    Plan: shingle explode → corpus-wide count per hash (map-side
+    combined) → join the shingle stream back on the hash key → per-doc
+    agg.  Exact integers end-to-end; the one double is a single
+    divide.
+    """
+    sh = _shingle_hashes(df, id_col, text_col, n)
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    j = sh.join(counts, "h")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            (F.col("n_dup_spans") / F.col("n_spans")).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
+def contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many of its
+    n-token windows appear in the eval set — the standard n-gram
+    overlap check run before training on web text.
+
+    The eval-set shingle dictionary is tiny next to the corpus, so it
+    broadcasts (semi-join on the hash, no shuffle of the doc stream);
+    at any corpus size the cost is one map-side probe per shingle.
+    """
+    sh = _shingle_hashes(df, id_col, text_col, n)
+    ev = (
+        _shingle_hashes(eval_df, id_col, text_col, n)
+        .select("h")
+        .distinct()
+    )
+    hit = sh.join(F.broadcast(ev).withColumn("_hit", F.lit(1)), "h", "left")
+    return (
+        hit.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_eval_spans"),
+        )
+        .select(
+            id_col,
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_eval_spans").cast("long").alias("n_eval_spans"),
+            (F.col("n_eval_spans") / F.col("n_spans")).alias(
+                "contamination_frac"
+            ),
+        )
+    )

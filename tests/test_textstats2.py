@@ -236,3 +236,62 @@ def test_hash_sample_pct_bounds(spark):
         sample.hash_sample(df, "doc_id", pct=101)
     with pytest.raises(ValueError):
         sample.stratified_cap(df, "doc_id", k=0, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dup_spans + contamination
+# ---------------------------------------------------------------------------
+
+
+def _spans(s, n):
+    tk = s.split(" ")
+    return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+
+def test_dup_spans_brute(spark):
+    from spapy_spark.operators import dedup
+
+    docs = {
+        0: "a b c d e f",          # shares "a b c" with doc 1
+        1: "x a b c y z",
+        2: "p q r s t u",          # unique
+        3: "m m m m m",            # self-duplicated spans
+    }
+    n = 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_frac"])
+        for r in dedup.dup_spans(df, n=n).collect()
+    }
+    allsp = Counter(sp for t in docs.values() for sp in _spans(t, n))
+    exp = {}
+    for did, t in docs.items():
+        sp = _spans(t, n)
+        dup = sum(1 for s in sp if allsp[s] > 1)
+        exp[did] = (len(sp), dup, dup / len(sp))
+    assert got == exp
+
+
+def test_contamination_eval_self_hit(spark):
+    from spapy_spark.operators import dedup
+
+    docs = {
+        0: "a b c d e f g h i j",
+        1: "k l m n o p q r s t",
+        2: "a b c d e f g h zz ww",   # shares doc 0's prefix spans
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs.items()]
+    )
+    ev = df.where(F.col("doc_id") == 0)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_eval_spans"])
+        for r in dedup.contamination(df, ev, n=8).collect()
+    }
+    # doc 0: all 3 of its 8-grams are in the eval set (itself)
+    # doc 2: its first 8-gram "a b c d e f g h" matches doc 0's first
+    assert got[0] == (3, 3)
+    assert got[1] == (3, 0)
+    assert got[2] == (3, 1)

@@ -195,6 +195,22 @@ def main():
         "cap is one exchange on the stratum key with the rank "
         "limited by WindowGroupLimit before it.",
     )
+    from spapy_spark.operators import dedup  # noqa: E402
+
+    cont = dedup.contamination(
+        docs.select("doc_id", "text"),
+        docs.select("doc_id", "text").where(F.col("doc_id") % 50 == 0),
+        n=8,
+    )
+    cap(
+        "Decontamination probe (broadcast eval dictionary, no doc shuffle)",
+        cont,
+        "The eval-set shingle dictionary broadcasts; the corpus "
+        "shingle stream probes it map-side (BroadcastHashJoin "
+        "LeftOuter) and partial-aggregates per doc before the one "
+        "exchange on doc_id — the training stream is never shuffled "
+        "on the shingle key.",
+    )
     hdr = (
         "# Physical plans — the 100 TB checklist, evidenced\n\n"
         "Captured from live `explain` output (regenerate: "

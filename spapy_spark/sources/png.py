@@ -4,10 +4,15 @@ Fills the real-codec seam in operators/multimodal.py (the reference
 delegates raster/image IO to GDAL/PIL; this engine reads its own
 formats — same spirit as sources/geotiff.py).
 
-Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), no
-interlacing; all five filter types (None/Sub/Up/Average/Paeth) are
-decoded, and the encoder can apply any fixed filter per row (used by
-tests to exercise every reverse-filter path).
+Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA); all five
+filter types (None/Sub/Up/Average/Paeth) are decoded, and the encoder
+can apply any fixed filter per row (used by tests to exercise every
+reverse-filter path).  Adam7 interlacing is supported in BOTH
+directions: each of the 7 passes is an independently-filtered
+sub-image (per the spec the filter "prior" row resets at every pass
+boundary), so interlaced and sequential encodes of one image decode
+bit-equal — tests assert exactly that.  16-bit depth and palette
+color remain documented boundaries.
 """
 
 from __future__ import annotations
@@ -20,6 +25,17 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 _COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+
+# Adam7 pass lattice: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -40,22 +56,12 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 (H,W) / (H,W,1) / (H,W,3) / (H,W,4) → PNG bytes.
-
-    ``filter_type`` applies one fixed filter to every row (0..4);
-    type 0 is the fast default, the others exist so decoders can be
-    tested against real filtered streams."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, c = a.shape
-    if c not in (1, 3, 4):
-        raise ValueError(f"unsupported channel count {c}")
-    color = _COLOR_TYPE[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    rows = a.reshape(h, w * c)
-    prior = np.zeros(w * c, dtype=np.uint8)
+def _filter_rows(rows: np.ndarray, c: int, filter_type: int) -> bytes:
+    """Apply one fixed filter to every row of a (h, w*c) uint8 image
+    (a whole image, or one Adam7 pass — the prior row starts at zero
+    either way, per spec)."""
+    h, stride = rows.shape
+    prior = np.zeros(stride, dtype=np.uint8)
     out_rows = []
     for y in range(h):
         raw = rows[y]
@@ -83,49 +89,22 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f"bad filter type {filter_type}")
         out_rows.append(bytes([filter_type]) + f.tobytes())
         prior = raw
-    idat = zlib.compress(b"".join(out_rows), 6)
-    return (
-        _SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", idat)
-        + _chunk(b"IEND", b"")
-    )
+    return b"".join(out_rows)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 (H, W, C) array (C ∈ {1, 3, 4})."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    ihdr = None
-    idat = []
-    n = len(data)
-    while pos + 8 <= n:
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0:
-        raise NotImplementedError(f"depth={depth} comp={comp} filt={filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing not supported")
-    c = _CHANNELS.get(color)
-    if c is None:
-        raise NotImplementedError(f"color type {color}")
-    raw = zlib.decompress(b"".join(idat))
+def _defilter_rows(
+    raw: bytes, off: int, h: int, w: int, c: int
+) -> tuple[np.ndarray, int]:
+    """Reverse-filter ``h`` rows of width ``w`` starting at byte
+    ``off`` of the decompressed stream; returns ((h, w*c) array, next
+    offset).  One call per image — or per Adam7 pass, since each pass
+    filters independently."""
     stride = w * c
-    if len(raw) != h * (stride + 1):
+    need = h * (stride + 1)
+    if off + need > len(raw):
         raise ValueError("IDAT size mismatch")
-    buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    buf = np.frombuffer(raw, dtype=np.uint8, count=need, offset=off)
+    buf = buf.reshape(h, stride + 1)
     ftypes = buf[:, 0]
     rows = buf[:, 1:]
     out = np.empty((h, stride), dtype=np.uint8)
@@ -163,4 +142,97 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {ft}")
         out[y] = rec
         prior = rec
-    return out.reshape(h, w, c)
+    return out, off + need
+
+
+def _pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """uint8 (H,W) / (H,W,1) / (H,W,3) / (H,W,4) → PNG bytes.
+
+    ``filter_type`` applies one fixed filter to every row (0..4);
+    type 0 is the fast default, the others exist so decoders can be
+    tested against real filtered streams.  ``interlace=True`` writes
+    Adam7: seven independently-filtered passes over the same pixels."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3, 4):
+        raise ValueError(f"unsupported channel count {c}")
+    color = _COLOR_TYPE[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    if not interlace:
+        body = _filter_rows(a.reshape(h, w * c), c, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
+            sub = a[y0::dy, x0::dx, :]
+            parts.append(_filter_rows(sub.reshape(ph, pw * c), c,
+                                      filter_type))
+        body = b"".join(parts)
+    idat = zlib.compress(body, 6)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 (H, W, C) array (C ∈ {1, 3, 4})."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = []
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(f"depth={depth} comp={comp} filt={filt}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    c = _CHANNELS.get(color)
+    if c is None:
+        raise NotImplementedError(f"color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, off = _defilter_rows(raw, 0, h, w, c)
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch")
+        return out.reshape(h, w, c)
+    # Adam7: each pass defilters independently, then scatters onto
+    # the output lattice
+    img = np.empty((h, w, c), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
+        rows, off = _defilter_rows(raw, off, ph, pw, c)
+        img[y0::dy, x0::dx, :] = rows.reshape(ph, pw, c)
+    if off != len(raw):
+        raise ValueError("IDAT size mismatch")
+    return img

@@ -79,3 +79,35 @@ def test_image_features_and_resize_on_real_png(spark):
     ]
     got_img = np.frombuffer(bytes(r5["payload"]), np.uint8).reshape(12, 16, 3)
     np.testing.assert_array_equal(got_img, want)
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_adam7_roundtrip_all_filters(channels, filter_type):
+    rng = np.random.default_rng(100 + filter_type * 10 + channels)
+    img = rng.integers(0, 256, (23, 37, channels), dtype=np.uint8)
+    buf = png.encode_png(img, filter_type=filter_type, interlace=True)
+    out = png.decode_png(buf)
+    np.testing.assert_array_equal(out, img)
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (1, 9), (9, 1), (3, 5), (7, 7), (8, 8), (9, 10)]
+)
+def test_adam7_odd_sizes_and_empty_passes(shape):
+    # small images leave some Adam7 passes empty; every size must
+    # decode bit-equal to the sequential encode of the same pixels
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    seq = png.decode_png(png.encode_png(img))
+    inter = png.decode_png(png.encode_png(img, interlace=True))
+    np.testing.assert_array_equal(inter, seq)
+    np.testing.assert_array_equal(inter, img)
+
+
+def test_adam7_header_flag():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    buf = png.encode_png(img, interlace=True)
+    # IHDR interlace byte (last of the 13-byte IHDR body) must be 1
+    assert buf[8 + 8 + 12] == 1
+    assert png.encode_png(img)[8 + 8 + 12] == 0

@@ -153,6 +153,7 @@ def main():
                 "inverted_index",
                 "dup_spans",
                 "contamination",
+                "robots_wildcard",
             )
         )
         queries = eq.build_queries()

@@ -697,6 +697,7 @@ def _raster_sample_oracle_sql() -> str:
 # r1 and are trivially re-verifiable plain SQL — if a cap drops rows,
 # it drops the ones with the longest green history.
 _FRONT = [
+    "robots_wildcard",
     "dup_spans",
     "contamination",
     "doc_repetition",

@@ -353,6 +353,100 @@ def _robots_oracle_sql() -> str:
     )
 
 
+def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard robots evaluation (web.robots_check_wildcard):
+    '*' runs and trailing-'$' anchors, longest-rule-wins with Allow on
+    ties.  The derived rules block paths ending in 7 under /P/ but
+    re-allow the 1-prefixed ones, plus a plain prefix Disallow."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("example"), (d % 3).cast("string"), F.lit(".com")
+        ).alias("domain"),
+        F.concat(F.lit("/P/"), d.cast("string")).alias("path"),
+    )
+    robots = spark.range(3).select(
+        F.concat(
+            F.lit("example"), F.col("id").cast("string"), F.lit(".com")
+        ).alias("domain"),
+        F.lit(
+            "User-agent: *\nDisallow: /P/*7$\nAllow: /P/1*7$"
+            "\nDisallow: /P/3"
+        ).alias("robots_txt"),
+    )
+    rules = web.robots_rules(robots)
+    return web.robots_check_wildcard(urls, rules).orderBy("doc_id")
+
+
+def _rule_regex_sql(rule: str) -> str:
+    """DuckDB twin of web.robots_rule_regex_col over expression
+    ``rule`` — same replace chain, same anchor handling."""
+    body = (
+        f"CASE WHEN {rule} LIKE '%$' THEN"
+        f" substr({rule}, 1, length({rule}) - 1) ELSE {rule} END"
+    )
+    c = body
+    for ch in web._RULE_ESCAPES:
+        lit = ch.replace("'", "''")
+        esc = ("\\" + ch).replace("'", "''")
+        c = f"replace({c}, '{lit}', '{esc}')"
+    c = f"replace({c}, '*', '.*')"
+    return (
+        f"'^' || {c} || (CASE WHEN {rule} LIKE '%$' THEN '$' ELSE '' END)"
+    )
+
+
+def _robots_wildcard_oracle_sql() -> str:
+    txt = (
+        "'User-agent: *' || chr(10) || 'Disallow: /P/*7$' || chr(10) ||"
+        " 'Allow: /P/1*7$' || chr(10) || 'Disallow: /P/3'"
+    )
+    rx = _rule_regex_sql("r.rule_path")
+    return (
+        "WITH u AS (SELECT doc_id,"
+        " 'example' || (doc_id % 3) || '.com' AS domain,"
+        " '/P/' || doc_id AS path FROM documents),"
+        " r0 AS (SELECT CAST(range AS BIGINT) AS j FROM range(3)),"
+        f" rb AS (SELECT 'example' || j || '.com' AS domain, {txt}"
+        " AS robots_txt FROM r0),"
+        " tk AS (SELECT domain, string_split(robots_txt, chr(10)) AS toks"
+        " FROM rb),"
+        " s AS (SELECT domain, toks,"
+        " unnest(generate_series(1, len(toks))) AS ln FROM tk),"
+        " l AS (SELECT domain, ln, toks[ln] AS line FROM s),"
+        " g AS (SELECT domain, ln, line,"
+        " SUM(CASE WHEN line LIKE 'User-agent:%' THEN 1 ELSE 0 END)"
+        " OVER (PARTITION BY domain ORDER BY ln"
+        " ROWS UNBOUNDED PRECEDING) AS gid,"
+        " CASE WHEN line LIKE 'User-agent:%' THEN"
+        " trim(regexp_extract(line, '^User-agent:(.*)$', 1)) END AS ua_line"
+        " FROM l),"
+        " g2 AS (SELECT *, MAX(ua_line) OVER (PARTITION BY domain, gid)"
+        " AS ua FROM g),"
+        " rules AS (SELECT domain,"
+        f" regexp_extract(line, '{_ROBOTS_RX}', 1) AS directive,"
+        f" regexp_extract(line, '{_ROBOTS_RX}', 2) AS rule_path"
+        " FROM g2 WHERE ua = '*'"
+        f" AND regexp_extract(line, '{_ROBOTS_RX}', 1) <> ''),"
+        " cand AS (SELECT u.doc_id, u.domain, u.path, r.directive,"
+        " r.rule_path,"
+        " CASE WHEN r.rule_path IS NOT NULL AND"
+        f" regexp_matches(u.path, {rx})"
+        " THEN 1 ELSE 0 END AS m,"
+        " COALESCE(length(r.rule_path), 0) AS rlen"
+        " FROM u LEFT JOIN rules r USING (domain)),"
+        " rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY m DESC, rlen DESC, directive ASC, rule_path ASC)"
+        " AS rnk FROM cand)"
+        " SELECT doc_id, domain, path,"
+        " (m = 0 OR directive = 'Allow') AS allowed,"
+        " CASE WHEN m = 1 THEN rule_path END AS winning_rule"
+        " FROM rk WHERE rnk = 1 ORDER BY doc_id"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dedup clustering over a derived pair
     graph: short per-decade chains, one 61-node chain (forces the
@@ -1013,6 +1107,7 @@ def build_queries() -> dict:
         "inverted_index": q_inverted_index,
         "dup_spans": q_dup_spans,
         "contamination": q_contamination,
+        "robots_wildcard": q_robots_wildcard,
     }
 
 
@@ -1038,4 +1133,5 @@ def build_oracle_sql() -> dict:
         "inverted_index": _inverted_index_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
+        "robots_wildcard": _robots_wildcard_oracle_sql(),
     }

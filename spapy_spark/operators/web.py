@@ -361,6 +361,64 @@ def robots_check(
     )
 
 
+# RFC 9309 wildcard rules: '*' matches any run, trailing '$' anchors
+# the end of the path.  The rule translates to an RE2-safe regex by
+# literal-escaping every metacharacter, then expanding '*'.  The
+# escape chain is plain replace() calls so DuckDB reproduces the SAME
+# pattern string byte-for-byte.
+_RULE_ESCAPES = (
+    "\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$",
+)
+
+
+def robots_rule_regex_col(rule: Column) -> Column:
+    """Regex equivalent of a robots rule path: anchored at the start,
+    '*' → '.*', trailing '$' → end anchor, everything else literal."""
+    anchored = rule.endswith("$")
+    body = F.when(
+        anchored, F.substring(rule, 1, F.length(rule) - 1)
+    ).otherwise(rule)
+    c = body
+    for ch in _RULE_ESCAPES:
+        c = F.replace(c, F.lit(ch), F.lit("\\" + ch))
+    c = F.replace(c, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), c, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_check_wildcard(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    key: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """robots evaluation with full RFC 9309 wildcard semantics:
+    '*' and trailing-'$' rules match via per-rule regexes; the most
+    specific rule (most octets in the rule text) wins, Allow wins
+    length ties.  Same join/window shape as ``robots_check`` — the
+    regex probe replaces the prefix compare; patterns compile per
+    (rule, row) JVM-side (regexp_like with a column pattern)."""
+    j = urls.join(rules, key, "left")
+    rx = robots_rule_regex_col(F.col("rule_path"))
+    matched = F.expr(f"regexp_like({path_col}, rx)")
+    j = j.withColumn("rx", rx).withColumn(
+        "m", F.when(matched, 1).otherwise(0)
+    ).withColumn("rlen", F.coalesce(F.length("rule_path"), F.lit(0)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("m"), F.desc("rlen"), F.asc("directive"), F.asc("rule_path")
+    )
+    top = j.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
+    return top.select(
+        id_col,
+        key,
+        path_col,
+        ((F.col("m") == 0) | (F.col("directive") == "Allow")).alias("allowed"),
+        F.when(F.col("m") == 1, F.col("rule_path")).alias("winning_rule"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Geohash tiling
 # ---------------------------------------------------------------------------

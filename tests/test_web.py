@@ -292,3 +292,57 @@ def test_geohash_matches_reference_impl(spark):
 def test_geohash_rejects_odd_precision():
     with pytest.raises(ValueError):
         web.geohash_col(F.lit(0.0), F.lit(0.0), precision=5)
+
+
+WILD_ROBOTS = (
+    "User-agent: *\nDisallow: /private*\nAllow: /private*/pub$"
+    "\nDisallow: /*.pdf$\nDisallow: /exact$"
+)
+
+
+@pytest.mark.parametrize(
+    "path,allowed,rule",
+    [
+        ("/private/x", False, "/private*"),
+        ("/privateer", False, "/private*"),
+        ("/private/a/pub", True, "/private*/pub$"),
+        ("/private/a/pub/more", False, "/private*"),  # $ stops the Allow
+        ("/doc.pdf", False, "/*.pdf$"),
+        ("/doc.pdfx", True, None),  # $ anchor: .pdfx does not match
+        ("/a.pdf/b", True, None),
+        ("/exact", False, "/exact$"),
+        ("/exactly", True, None),
+        ("/open", True, None),
+    ],
+)
+def test_robots_wildcard_semantics(spark, path, allowed, rule):
+    robots = spark.createDataFrame(
+        [Row(domain="d.com", robots_txt=WILD_ROBOTS)]
+    )
+    rules = web.robots_rules(robots)
+    urls = spark.createDataFrame(
+        [Row(doc_id=1, domain="d.com", path=path)]
+    )
+    r = web.robots_check_wildcard(urls, rules).first()
+    assert r["allowed"] == allowed, (path, r)
+    assert r["winning_rule"] == rule, (path, r)
+
+
+def test_robots_wildcard_escapes_metachars(spark):
+    # a rule containing regex metachars must match only literally
+    robots = spark.createDataFrame(
+        [Row(domain="d.com", robots_txt="User-agent: *\nDisallow: /a.b(c)+")]
+    )
+    rules = web.robots_rules(robots)
+    urls = spark.createDataFrame(
+        [
+            Row(doc_id=1, domain="d.com", path="/a.b(c)+x"),
+            Row(doc_id=2, domain="d.com", path="/aXb(c)+"),   # '.' literal
+            Row(doc_id=3, domain="d.com", path="/a.bccc"),    # '(c)+' literal
+        ]
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in web.robots_check_wildcard(urls, rules).collect()
+    }
+    assert got == {1: False, 2: True, 3: True}

@@ -154,6 +154,7 @@ def main():
                 "dup_spans",
                 "contamination",
                 "robots_wildcard",
+                "host_graph",
             )
         )
         queries = eq.build_queries()

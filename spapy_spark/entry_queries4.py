@@ -240,6 +240,49 @@ def _link_extract_oracle_sql() -> str:
     )
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph (web.host_graph): page-level anchor
+    edges roll up to (src registered domain → dst registered domain)
+    with link/page counts; absolute hrefs resolve through the
+    canonicalization chain, relative hrefs stay intra-site."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.withColumn("html_text", _links_col())
+    links = web.extract_links(pages).withColumn(
+        "domain",
+        F.concat(
+            F.lit("example"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com"),
+        ),
+    )
+    return web.host_graph(links).orderBy("src_domain", "dst_domain")
+
+
+def _host_graph_oracle_sql() -> str:
+    canon = _canon_sql_expr()
+    dom = _domain_sql_expr("canon_url")
+    return (
+        f"WITH d AS (SELECT doc_id, {_LINKS_SQL} AS html FROM documents),"
+        " x AS (SELECT doc_id,"
+        f" regexp_extract_all(html, '{web.LINK_RX}', 1) AS hrefs"
+        " FROM d),"
+        " s AS (SELECT doc_id, hrefs,"
+        " unnest(generate_series(1, len(hrefs))) AS i FROM x),"
+        " e AS (SELECT doc_id,"
+        " 'example' || (doc_id % 3) || '.com' AS domain,"
+        " hrefs[i] AS u FROM s),"
+        f" c AS (SELECT doc_id, domain, u, {canon} AS canon_url FROM e),"
+        " t AS (SELECT doc_id, domain,"
+        " CASE WHEN regexp_matches(u, '^[A-Za-z]+://')"
+        f" THEN {dom} ELSE domain END AS dst FROM c)"
+        " SELECT domain AS src_domain, dst AS dst_domain,"
+        " CAST(count(*) AS BIGINT) AS n_links,"
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages"
+        " FROM t GROUP BY src_domain, dst_domain"
+        " ORDER BY src_domain, dst_domain"
+    )
+
+
 def q_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 tiling rollup over rational direction vectors derived from
     doc_id — the trig-free path, so the whole chain (ratios, quadratic
@@ -1108,6 +1151,7 @@ def build_queries() -> dict:
         "dup_spans": q_dup_spans,
         "contamination": q_contamination,
         "robots_wildcard": q_robots_wildcard,
+        "host_graph": q_host_graph,
     }
 
 
@@ -1134,4 +1178,5 @@ def build_oracle_sql() -> dict:
         "dup_spans": _dup_spans_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
         "robots_wildcard": _robots_wildcard_oracle_sql(),
+        "host_graph": _host_graph_oracle_sql(),
     }

@@ -103,6 +103,39 @@ def extract_links(
     )
 
 
+def host_graph(
+    links: DataFrame,
+    page_domain_col: str = "domain",
+    href_col: str = "href",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-level link graph from extract_links output: one edge per
+    (source registered domain → target registered domain) with link
+    and page counts.  Absolute hrefs resolve through the same
+    canonicalization chain as url_canonicalize; relative hrefs inherit
+    the page's domain (intra-site edges).
+
+    The edge aggregation is one map-side-combined shuffle on the
+    (src, dst) pair — the host graph is |domains|², tiny next to the
+    page-level graph, so this is the standard first reduction before
+    domain-rank computations."""
+    canon = url_canonicalize_col(F.col(href_col))
+    is_abs = F.col(href_col).rlike("^[A-Za-z]+://")
+    dst = F.when(
+        is_abs, registered_domain_col(url_host_col(canon))
+    ).otherwise(F.col(page_domain_col))
+    return (
+        links.groupBy(
+            F.col(page_domain_col).alias("src_domain"),
+            dst.alias("dst_domain"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct(id_col).cast("long").alias("n_pages"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -4,15 +4,16 @@ Fills the real-codec seam in operators/multimodal.py (the reference
 delegates raster/image IO to GDAL/PIL; this engine reads its own
 formats — same spirit as sources/geotiff.py).
 
-Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA); all five
-filter types (None/Sub/Up/Average/Paeth) are decoded, and the encoder
-can apply any fixed filter per row (used by tests to exercise every
+Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette — PLTE
++ optional tRNS, decoded to RGB/RGBA), 6 (RGBA); all five filter
+types (None/Sub/Up/Average/Paeth) are decoded, and the encoder can
+apply any fixed filter per row (used by tests to exercise every
 reverse-filter path).  Adam7 interlacing is supported in BOTH
 directions: each of the 7 passes is an independently-filtered
 sub-image (per the spec the filter "prior" row resets at every pass
 boundary), so interlaced and sequential encodes of one image decode
-bit-equal — tests assert exactly that.  16-bit depth and palette
-color remain documented boundaries.
+bit-equal — tests assert exactly that.  16-bit depth remains a
+documented boundary.
 """
 
 from __future__ import annotations
@@ -191,13 +192,41 @@ def encode_png(
     )
 
 
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """(H, W) uint8 palette indices + (n, 3) uint8 palette (+ optional
+    (n,) alpha) → color-type-3 PNG.  Exists so the paletted decode
+    path is tested against real PLTE/tRNS streams."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("indices must be (H, W), palette (n, 3)")
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("index out of palette range")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    body = _filter_rows(idx.reshape(h, w), 1, filter_type)
+    chunks = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        chunks += _chunk(b"tRNS", np.asarray(trns, np.uint8).tobytes())
+    chunks += _chunk(b"IDAT", zlib.compress(body, 6)) + _chunk(b"IEND", b"")
+    return chunks
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 (H, W, C) array (C ∈ {1, 3, 4})."""
+    """PNG bytes → uint8 (H, W, C) array (C ∈ {1, 3, 4}); paletted
+    images come back expanded to RGB (or RGBA when tRNS is present)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr = None
     idat = []
+    plte = None
+    trns = None
     n = len(data)
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", data, pos)
@@ -206,6 +235,10 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -217,22 +250,39 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"depth={depth} comp={comp} filt={filt}")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
-    c = _CHANNELS.get(color)
-    if c is None:
-        raise NotImplementedError(f"color type {color}")
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        c = 1  # filtering operates on the index plane
+    else:
+        c = _CHANNELS.get(color)
+        if c is None:
+            raise NotImplementedError(f"color type {color}")
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
         out, off = _defilter_rows(raw, 0, h, w, c)
         if off != len(raw):
             raise ValueError("IDAT size mismatch")
-        return out.reshape(h, w, c)
-    # Adam7: each pass defilters independently, then scatters onto
-    # the output lattice
-    img = np.empty((h, w, c), dtype=np.uint8)
-    off = 0
-    for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
-        rows, off = _defilter_rows(raw, off, ph, pw, c)
-        img[y0::dy, x0::dx, :] = rows.reshape(ph, pw, c)
-    if off != len(raw):
-        raise ValueError("IDAT size mismatch")
-    return img
+        img = out.reshape(h, w, c)
+    else:
+        # Adam7: each pass defilters independently, then scatters onto
+        # the output lattice
+        img = np.empty((h, w, c), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
+            rows, off = _defilter_rows(raw, off, ph, pw, c)
+            img[y0::dy, x0::dx, :] = rows.reshape(ph, pw, c)
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch")
+    if color != 3:
+        return img
+    idx = img[:, :, 0]
+    if idx.max(initial=0) >= len(plte):
+        raise ValueError("palette index out of range")
+    rgb = plte[idx]
+    if trns is None:
+        return rgb
+    # spec: tRNS may be shorter than PLTE; missing entries are opaque
+    alpha = np.full(len(plte), 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    return np.dstack([rgb, alpha[idx]])

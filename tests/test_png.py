@@ -111,3 +111,42 @@ def test_adam7_header_flag():
     # IHDR interlace byte (last of the 13-byte IHDR body) must be 1
     assert buf[8 + 8 + 12] == 1
     assert png.encode_png(img)[8 + 8 + 12] == 0
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_palette_roundtrip(filter_type):
+    rng = np.random.default_rng(filter_type)
+    pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, (19, 23), dtype=np.uint8)
+    buf = png.encode_png_palette(idx, pal, filter_type=filter_type)
+    out = png.decode_png(buf)
+    assert out.shape == (19, 23, 3)
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_palette_trns_alpha():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    trns = np.array([0, 128], np.uint8)  # shorter than PLTE: idx 2 opaque
+    idx = np.array([[0, 1, 2]], np.uint8)
+    out = png.decode_png(png.encode_png_palette(idx, pal, trns=trns))
+    assert out.shape == (1, 3, 4)
+    np.testing.assert_array_equal(out[0, :, 3], [0, 128, 255])
+    np.testing.assert_array_equal(out[0, :, :3], pal)
+
+
+def test_palette_missing_plte_rejected():
+    pal = np.zeros((2, 3), np.uint8)
+    idx = np.zeros((2, 2), np.uint8)
+    buf = png.encode_png_palette(idx, pal)
+    # strip the PLTE chunk: re-splice signature + IHDR + rest minus PLTE
+    import struct as _s
+    pos, parts = 8, [buf[:8]]
+    while pos + 8 <= len(buf):
+        (ln,) = _s.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        chunk = buf[pos : pos + 12 + ln]
+        pos += 12 + ln
+        if tag != b"PLTE":
+            parts.append(chunk)
+    with pytest.raises(ValueError, match="PLTE"):
+        png.decode_png(b"".join(parts))

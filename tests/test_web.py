@@ -346,3 +346,25 @@ def test_robots_wildcard_escapes_metachars(spark):
         for r in web.robots_check_wildcard(urls, rules).collect()
     }
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_host_graph_rollup(spark):
+    links = spark.createDataFrame(
+        [
+            Row(doc_id=1, domain="a.com", href="http://www.B.com/x"),
+            Row(doc_id=1, domain="a.com", href="https://sub.b.com/y"),
+            Row(doc_id=2, domain="a.com", href="/relative/path"),
+            Row(doc_id=2, domain="a.com", href="http://c.org/z"),
+            Row(doc_id=3, domain="b.com", href="http://a.com/"),
+        ]
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_pages"])
+        for r in web.host_graph(links).collect()
+    }
+    assert got == {
+        ("a.com", "b.com"): (2, 1),   # www + subdomain both roll up
+        ("a.com", "a.com"): (1, 1),   # relative href stays intra-site
+        ("a.com", "c.org"): (1, 1),
+        ("b.com", "a.com"): (1, 1),
+    }

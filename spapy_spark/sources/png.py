@@ -12,8 +12,10 @@ reverse-filter path).  Adam7 interlacing is supported in BOTH
 directions: each of the 7 passes is an independently-filtered
 sub-image (per the spec the filter "prior" row resets at every pass
 boundary), so interlaced and sequential encodes of one image decode
-bit-equal — tests assert exactly that.  16-bit depth remains a
-documented boundary.
+bit-equal — tests assert exactly that.  16-bit depth is supported for
+gray/RGB/RGBA (PNG filters are byte-wise regardless of depth, so the
+same defilter kernels run with a 2-byte-per-sample pixel width; the
+decoder returns uint16, big-endian per spec).
 """
 
 from __future__ import annotations
@@ -160,28 +162,37 @@ def _pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
 def encode_png(
     arr: np.ndarray, filter_type: int = 0, interlace: bool = False
 ) -> bytes:
-    """uint8 (H,W) / (H,W,1) / (H,W,3) / (H,W,4) → PNG bytes.
+    """uint8 or uint16 (H,W) / (H,W,1) / (H,W,3) / (H,W,4) → PNG
+    bytes (uint16 input writes 16-bit depth, big-endian samples).
 
     ``filter_type`` applies one fixed filter to every row (0..4);
     type 0 is the fast default, the others exist so decoders can be
     tested against real filtered streams.  ``interlace=True`` writes
     Adam7: seven independently-filtered passes over the same pixels."""
-    a = np.asarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(">u2" if depth == 16 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
     if c not in (1, 3, 4):
         raise ValueError(f"unsupported channel count {c}")
+    bpp = c * (depth // 8)  # PNG filters act on bytes
     color = _COLOR_TYPE[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     if not interlace:
-        body = _filter_rows(a.reshape(h, w * c), c, filter_type)
+        rows = np.ascontiguousarray(a).view(np.uint8).reshape(h, w * bpp)
+        body = _filter_rows(rows, bpp, filter_type)
     else:
         parts = []
         for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
-            sub = a[y0::dy, x0::dx, :]
-            parts.append(_filter_rows(sub.reshape(ph, pw * c), c,
-                                      filter_type))
+            sub = np.ascontiguousarray(a[y0::dy, x0::dx, :])
+            parts.append(
+                _filter_rows(
+                    sub.view(np.uint8).reshape(ph, pw * bpp), bpp,
+                    filter_type,
+                )
+            )
         body = b"".join(parts)
     idat = zlib.compress(body, 6)
     return (
@@ -246,11 +257,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(f"depth={depth} comp={comp} filt={filt}")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
     if color == 3:
+        if depth != 8:
+            raise NotImplementedError("16-bit palette is not valid PNG")
         if plte is None:
             raise ValueError("paletted PNG without PLTE")
         c = 1  # filtering operates on the index plane
@@ -258,22 +271,29 @@ def decode_png(data: bytes) -> np.ndarray:
         c = _CHANNELS.get(color)
         if c is None:
             raise NotImplementedError(f"color type {color}")
+    bpp = c * (depth // 8)  # filters are byte-wise at any depth
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        out, off = _defilter_rows(raw, 0, h, w, c)
+        out, off = _defilter_rows(raw, 0, h, w, bpp)
         if off != len(raw):
             raise ValueError("IDAT size mismatch")
-        img = out.reshape(h, w, c)
+        img = out.reshape(h, w, bpp)
     else:
         # Adam7: each pass defilters independently, then scatters onto
         # the output lattice
-        img = np.empty((h, w, c), dtype=np.uint8)
+        img = np.empty((h, w, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
-            rows, off = _defilter_rows(raw, off, ph, pw, c)
-            img[y0::dy, x0::dx, :] = rows.reshape(ph, pw, c)
+            rows, off = _defilter_rows(raw, off, ph, pw, bpp)
+            img[y0::dy, x0::dx, :] = rows.reshape(ph, pw, bpp)
         if off != len(raw):
             raise ValueError("IDAT size mismatch")
+    if depth == 16:
+        return (
+            np.frombuffer(np.ascontiguousarray(img).tobytes(), dtype=">u2")
+            .reshape(h, w, c)
+            .astype(np.uint16)
+        )
     if color != 3:
         return img
     idx = img[:, :, 0]

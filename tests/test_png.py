@@ -150,3 +150,36 @@ def test_palette_missing_plte_rejected():
             parts.append(chunk)
     with pytest.raises(ValueError, match="PLTE"):
         png.decode_png(b"".join(parts))
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_16bit_roundtrip_all_filters(channels, filter_type):
+    rng = np.random.default_rng(200 + filter_type * 10 + channels)
+    img = rng.integers(0, 65536, (13, 17, channels), dtype=np.uint16)
+    out = png.decode_png(png.encode_png(img, filter_type=filter_type))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+
+
+def test_16bit_adam7_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65536, (11, 9, 3), dtype=np.uint16)
+    out = png.decode_png(png.encode_png(img, interlace=True))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_16bit_big_endian_in_stream():
+    # one gray pixel 0x0102 must serialize as bytes 01 02 (network order)
+    img = np.array([[0x0102]], dtype=np.uint16)
+    buf = png.encode_png(img)
+    import struct as _s, zlib as _z
+    pos = 8
+    while pos + 8 <= len(buf):
+        (ln,) = _s.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            raw = _z.decompress(buf[pos + 8 : pos + 8 + ln])
+            assert raw == b"\x00\x01\x02"  # filter byte + BE sample
+        pos += 12 + ln
+    np.testing.assert_array_equal(png.decode_png(buf), img.reshape(1, 1, 1))

@@ -2,13 +2,15 @@
 (/root/reference/SpaRasters.py:687-752) re-expressed for the tile-table
 engine.
 
-Scope (documented): classic TIFF, uncompressed (Compression=1),
-single-band (SamplesPerPixel=1), strip- OR tile-organized, 8/16/32-bit
-unsigned/signed/float samples, little- or big-endian.  Georeferencing
-from ModelPixelScaleTag + ModelTiepointTag (GeoTIFF §2.6.1); nodata
-from the GDAL_NODATA ASCII tag.  That covers the uncompressed DEM/
-landcover exports the reference's own tests read; compressed TIFFs
-raise with a clear message.
+Scope (documented): classic TIFF and BigTIFF, uncompressed
+(Compression=1), LZW (5 — from-scratch TIFF §13 codec,
+sources/tiff_lzw.py) or Deflate (8/32946, stdlib zlib) with optional
+Predictor=2, single- or multi-band (chunky or planar), strip- OR
+tile-organized, 8/16/32/64-bit unsigned/signed/float samples, little-
+or big-endian.  Georeferencing from ModelPixelScaleTag +
+ModelTiepointTag (GeoTIFF §2.6.1); nodata from the GDAL_NODATA ASCII
+tag.  Other compression schemes (JPEG-in-TIFF, PackBits) raise with a
+clear message.
 
 Scale design: the driver parses only the IFD (a few KB); pixel data is
 read on EXECUTORS as byte-range slices — one task per engine tile row,
@@ -27,6 +29,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
+
+from . import tiff_lzw
 
 # TIFF tag ids
 _W, _H = 256, 257
@@ -152,10 +156,10 @@ def read_info(path: str) -> TiffInfo:
         samples_per_pixel=int(one(_SPP, 1)),
         planar=int(one(_PLANAR, 1)), predictor=int(one(317, 1)),
     )
-    if info.compression not in (1, 8, 32946):
+    if info.compression not in (1, 5, 8, 32946):
         raise NotImplementedError(
             f"Compression={info.compression} not supported — only "
-            "uncompressed (1) and Deflate (8/32946)"
+            "uncompressed (1), LZW (5) and Deflate (8/32946)"
         )
     if info.predictor not in (1, 2):
         raise NotImplementedError(f"TIFF Predictor={info.predictor}")
@@ -239,7 +243,10 @@ def _rows_bytes(info: TiffInfo, f, r0: int, r1: int,
         else:
             f.seek(info.strip_offsets[s])
             comp = f.read(info.strip_byte_counts[s])
-            full = zlib.decompress(comp)
+            if info.compression == 5:
+                full = tiff_lzw.lzw_decode(comp)
+            else:
+                full = zlib.decompress(comp)
             skip = (r - strip_r0) * row_bytes
             raw = full[skip : skip + take * row_bytes]
         a = np.frombuffer(raw, dtype=info.dtype).reshape(take, px_per_row)
@@ -277,6 +284,8 @@ def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int,
             f.seek(info.tile_offsets[ti])
             if info.compression == 1:
                 raw = f.read(vals_per_tile * info.bits // 8)
+            elif info.compression == 5:
+                raw = tiff_lzw.lzw_decode(f.read(info.tile_byte_counts[ti]))
             else:
                 raw = zlib.decompress(f.read(info.tile_byte_counts[ti]))
             arr = np.frombuffer(raw, dtype=info.dtype)[:vals_per_tile]
@@ -407,7 +416,9 @@ def write_geotiff(
 ) -> None:
     """Little-endian GeoTIFF writer (strip per 64 rows), optionally
     Deflate-compressed (``compress='deflate'`` → per-strip stdlib
-    zlib, Compression tag 8 — the most common real DEM export).
+    zlib, Compression tag 8 — the most common real DEM export) or
+    LZW-compressed (``compress='lzw'`` → tag 5 via the from-scratch
+    TIFF §13 codec in sources/tiff_lzw.py, GDAL's default).
     Mirrors reference Save (/root/reference/SpaRasters.py:752) for the
     formats the reader supports — lossless roundtrip without GDAL.
 
@@ -427,7 +438,7 @@ def write_geotiff(
     force that exact type."""
     import zlib
 
-    if compress not in (None, "deflate"):
+    if compress not in (None, "deflate", "lzw"):
         raise ValueError(f"unsupported compress={compress!r}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor={predictor}")
@@ -481,6 +492,8 @@ def write_geotiff(
         blob = chunk.tobytes()
         if compress == "deflate":
             blob = zlib.compress(blob, 6)
+        elif compress == "lzw":
+            blob = tiff_lzw.lzw_encode(blob)
         strip_blobs.append(blob)
         strip_offsets.append(off)
         strip_counts.append(len(blob))
@@ -508,7 +521,8 @@ def write_geotiff(
     ent(_W, 4, 1, [w])
     ent(_H, 4, 1, [h])
     ent(_BITS, 3, spp, [bits] * spp)
-    ent(_COMP, 3, 1, [8 if compress == "deflate" else 1])
+    ent(_COMP, 3, 1,
+        [{"deflate": 8, "lzw": 5, None: 1}[compress]])
     ent(_PHOTO, 3, 1, [1])
     ent(_SOFF, otyp, n_strips, strip_offsets)
     ent(_SPP, 3, 1, [spp])

@@ -42,8 +42,8 @@ def test_roundtrip_uint8(tmp_path):
 
 
 def test_compressed_rejected(tmp_path):
-    # flip the Compression tag of a valid file to 5 (LZW) — reader
-    # must refuse loudly, not return garbage
+    # flip the Compression tag of a valid file to 7 (JPEG-in-TIFF,
+    # unsupported) — reader must refuse loudly, not return garbage
     import struct
 
     p = str(tmp_path / "c.tif")
@@ -54,7 +54,7 @@ def test_compressed_rejected(tmp_path):
     for i in range(n):
         tag = struct.unpack_from("<H", raw, ifd + 2 + 12 * i)[0]
         if tag == 259:
-            struct.pack_into("<H", raw, ifd + 2 + 12 * i + 8, 5)
+            struct.pack_into("<H", raw, ifd + 2 + 12 * i + 8, 7)
     open(p, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError):
         geotiff.read_info(p)

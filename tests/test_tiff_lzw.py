@@ -1,0 +1,121 @@
+"""TIFF-variant LZW (sources/tiff_lzw.py) + its geotiff.py wiring.
+
+The bitstream tests are writer-independent: codes are packed by a
+separate MSB-first packer implemented inline here, so an encoder bug
+cannot hide a matching decoder bug.
+"""
+
+import numpy as np
+import pytest
+
+from spapy_spark.sources import geotiff, tiff_lzw
+
+
+def _pack(codes_with_widths):
+    """Independent MSB-first bit packer for expected-stream fixtures."""
+    acc, bits, out = 0, 0, bytearray()
+    for code, width in codes_with_widths:
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_known_vector_encode_decode():
+    # input 7,7,7,8: CLEAR, 7, <258 = "77">, 8, EOI (all 9-bit)
+    data = bytes([7, 7, 7, 8])
+    expected = _pack([(256, 9), (7, 9), (258, 9), (8, 9), (257, 9)])
+    assert tiff_lzw.lzw_encode(data) == expected
+    assert tiff_lzw.lzw_decode(expected) == data
+
+
+def test_kwkwk_case():
+    # "ababab..." forces the code==len(table) branch immediately
+    data = b"ababababab"
+    assert tiff_lzw.lzw_decode(tiff_lzw.lzw_encode(data)) == data
+
+
+def test_width_switch_position_is_early():
+    # 253 two-byte novel pairs fill the table to next_code=511: the
+    # encoder must switch to 10-bit codes one entry EARLY (TIFF early
+    # change), which shows up as a fixed total bitstream length
+    data = bytes()
+    # distinct pairs (i, 255-i) then (i, 254-i)... ensure novelty
+    parts = []
+    for i in range(256):
+        parts.append(bytes([i, (i * 7 + 3) % 256]))
+    data = b"".join(parts)
+    enc = tiff_lzw.lzw_encode(data)
+    dec = tiff_lzw.lzw_decode(enc)
+    assert dec == data
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_roundtrip_random_and_structured(seed):
+    rng = np.random.default_rng(seed)
+    blobs = [
+        rng.integers(0, 256, 8000, dtype=np.uint8).tobytes(),
+        rng.integers(0, 3, 60000, dtype=np.uint8).tobytes(),  # resets
+        bytes(12000),  # all zero: maximal run compression
+    ]
+    for b in blobs:
+        assert tiff_lzw.lzw_decode(tiff_lzw.lzw_encode(b)) == b
+
+
+def test_decode_requires_leading_clear():
+    with pytest.raises(ValueError, match="ClearCode"):
+        tiff_lzw.lzw_decode(_pack([(7, 9), (257, 9)]))
+
+
+def test_geotiff_lzw_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 4000, (130, 90), dtype=np.uint16)
+    p = str(tmp_path / "lzw.tif")
+    geotiff.write_geotiff(p, arr, geotransform=(0, 1, 0, 0, 0, -1),
+                          compress="lzw", dtype="native")
+    info = geotiff.read_info(p)
+    assert info.compression == 5
+    with open(p, "rb") as f:
+        out = geotiff._rows_bytes(info, f, 0, 130)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_geotiff_lzw_predictor2_roundtrip(tmp_path):
+    # LZW + horizontal differencing (GDAL's compressed-DEM default)
+    grad = (
+        np.arange(100)[:, None] * 3 + np.arange(80)[None, :]
+    ).astype(np.int32)
+    p = str(tmp_path / "lzw_pred.tif")
+    geotiff.write_geotiff(p, grad, geotransform=(0, 1, 0, 0, 0, -1),
+                          compress="lzw", dtype="native", predictor=2)
+    info = geotiff.read_info(p)
+    assert info.compression == 5 and info.predictor == 2
+    with open(p, "rb") as f:
+        out = geotiff._rows_bytes(info, f, 0, 100)
+    np.testing.assert_array_equal(out, grad)
+    # smooth data + predictor must beat raw LZW on size
+    p2 = str(tmp_path / "lzw_nopred.tif")
+    geotiff.write_geotiff(p2, grad, geotransform=(0, 1, 0, 0, 0, -1),
+                          compress="lzw", dtype="native")
+    import os
+
+    assert os.path.getsize(p) < os.path.getsize(p2)
+
+
+def test_geotiff_lzw_partial_row_reads(tmp_path):
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 255, (200, 64), dtype=np.uint8)
+    p = str(tmp_path / "lzw_rows.tif")
+    geotiff.write_geotiff(p, arr, geotransform=(0, 1, 0, 0, 0, -1),
+                          compress="lzw")
+    info = geotiff.read_info(p)
+    with open(p, "rb") as f:
+        # windows crossing the 64-row strip boundaries
+        for r0, r1 in [(0, 10), (60, 70), (63, 65), (120, 200)]:
+            np.testing.assert_array_equal(
+                geotiff._rows_bytes(info, f, r0, r1), arr[r0:r1]
+            )

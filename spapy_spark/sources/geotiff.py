@@ -4,13 +4,13 @@ engine.
 
 Scope (documented): classic TIFF and BigTIFF, uncompressed
 (Compression=1), LZW (5 — from-scratch TIFF §13 codec,
-sources/tiff_lzw.py) or Deflate (8/32946, stdlib zlib) with optional
-Predictor=2, single- or multi-band (chunky or planar), strip- OR
-tile-organized, 8/16/32/64-bit unsigned/signed/float samples, little-
-or big-endian.  Georeferencing from ModelPixelScaleTag +
-ModelTiepointTag (GeoTIFF §2.6.1); nodata from the GDAL_NODATA ASCII
-tag.  Other compression schemes (JPEG-in-TIFF, PackBits) raise with a
-clear message.
+sources/tiff_lzw.py), Deflate (8/32946, stdlib zlib) or PackBits
+(32773, sources/packbits.py) with optional Predictor=2, single- or
+multi-band (chunky or planar), strip- OR tile-organized,
+8/16/32/64-bit unsigned/signed/float samples, little- or big-endian.
+Georeferencing from ModelPixelScaleTag + ModelTiepointTag (GeoTIFF
+§2.6.1); nodata from the GDAL_NODATA ASCII tag.  Other compression
+schemes (JPEG-in-TIFF) raise with a clear message.
 
 Scale design: the driver parses only the IFD (a few KB); pixel data is
 read on EXECUTORS as byte-range slices — one task per engine tile row,
@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from . import tiff_lzw
+from . import packbits, tiff_lzw
 
 # TIFF tag ids
 _W, _H = 256, 257
@@ -156,10 +156,11 @@ def read_info(path: str) -> TiffInfo:
         samples_per_pixel=int(one(_SPP, 1)),
         planar=int(one(_PLANAR, 1)), predictor=int(one(317, 1)),
     )
-    if info.compression not in (1, 5, 8, 32946):
+    if info.compression not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
             f"Compression={info.compression} not supported — only "
-            "uncompressed (1), LZW (5) and Deflate (8/32946)"
+            "uncompressed (1), LZW (5), Deflate (8/32946) and "
+            "PackBits (32773)"
         )
     if info.predictor not in (1, 2):
         raise NotImplementedError(f"TIFF Predictor={info.predictor}")
@@ -245,6 +246,8 @@ def _rows_bytes(info: TiffInfo, f, r0: int, r1: int,
             comp = f.read(info.strip_byte_counts[s])
             if info.compression == 5:
                 full = tiff_lzw.lzw_decode(comp)
+            elif info.compression == 32773:
+                full = packbits.packbits_decode(comp)
             else:
                 full = zlib.decompress(comp)
             skip = (r - strip_r0) * row_bytes
@@ -286,6 +289,10 @@ def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int,
                 raw = f.read(vals_per_tile * info.bits // 8)
             elif info.compression == 5:
                 raw = tiff_lzw.lzw_decode(f.read(info.tile_byte_counts[ti]))
+            elif info.compression == 32773:
+                raw = packbits.packbits_decode(
+                    f.read(info.tile_byte_counts[ti])
+                )
             else:
                 raw = zlib.decompress(f.read(info.tile_byte_counts[ti]))
             arr = np.frombuffer(raw, dtype=info.dtype)[:vals_per_tile]
@@ -438,7 +445,7 @@ def write_geotiff(
     force that exact type."""
     import zlib
 
-    if compress not in (None, "deflate", "lzw"):
+    if compress not in (None, "deflate", "lzw", "packbits"):
         raise ValueError(f"unsupported compress={compress!r}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor={predictor}")
@@ -494,6 +501,10 @@ def write_geotiff(
             blob = zlib.compress(blob, 6)
         elif compress == "lzw":
             blob = tiff_lzw.lzw_encode(blob)
+        elif compress == "packbits":
+            blob = packbits.packbits_encode(
+                blob, row_bytes=w * spp * bits // 8
+            )
         strip_blobs.append(blob)
         strip_offsets.append(off)
         strip_counts.append(len(blob))
@@ -522,7 +533,8 @@ def write_geotiff(
     ent(_H, 4, 1, [h])
     ent(_BITS, 3, spp, [bits] * spp)
     ent(_COMP, 3, 1,
-        [{"deflate": 8, "lzw": 5, None: 1}[compress]])
+        [{"deflate": 8, "lzw": 5, "packbits": 32773,
+          None: 1}[compress]])
     ent(_PHOTO, 3, 1, [1])
     ent(_SOFF, otyp, n_strips, strip_offsets)
     ent(_SPP, 3, 1, [spp])

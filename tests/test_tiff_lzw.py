@@ -119,3 +119,60 @@ def test_geotiff_lzw_partial_row_reads(tmp_path):
             np.testing.assert_array_equal(
                 geotiff._rows_bytes(info, f, r0, r1), arr[r0:r1]
             )
+
+
+# ---------------------------------------------------------------------------
+# PackBits (sources/packbits.py, Compression=32773)
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_known_vectors():
+    from spapy_spark.sources import packbits as pb
+
+    # the classic TIFF §9 example stream
+    enc = bytes(
+        [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+         0x00, 0x2A, 0x22, 0xF7, 0xAA]
+    )
+    dec = pb.packbits_decode(enc)
+    exp = (
+        b"\xaa\xaa\xaa\x80\x00\x2a\xaa\xaa\xaa\xaa\x80\x00\x2a\x22"
+        + b"\xaa" * 10
+    )
+    assert dec == exp
+    # our encoder must roundtrip the same payload
+    assert pb.packbits_decode(pb.packbits_encode(exp)) == exp
+
+
+def test_packbits_roundtrip_edges():
+    from spapy_spark.sources import packbits as pb
+
+    rng = np.random.default_rng(3)
+    cases = [
+        b"", b"\x00", b"\x00" * 500, bytes(range(256)),
+        rng.integers(0, 2, 4096, dtype=np.uint8).tobytes(),
+        b"\x01" * 127 + b"\x02" + b"\x03" * 130,
+    ]
+    for c in cases:
+        assert pb.packbits_decode(pb.packbits_encode(c)) == c
+        assert pb.packbits_decode(pb.packbits_encode(c, row_bytes=64)) == c
+
+
+def test_geotiff_packbits_roundtrip(tmp_path):
+    rng = np.random.default_rng(11)
+    # blocky data (runs) + noise — exercises both packet kinds
+    arr = np.where(
+        rng.integers(0, 2, (150, 70)) > 0,
+        np.uint8(200),
+        rng.integers(0, 255, (150, 70)),
+    ).astype(np.uint8)
+    p = str(tmp_path / "pb.tif")
+    geotiff.write_geotiff(p, arr, geotransform=(0, 1, 0, 0, 0, -1),
+                          compress="packbits")
+    info = geotiff.read_info(p)
+    assert info.compression == 32773
+    with open(p, "rb") as f:
+        for r0, r1 in [(0, 150), (63, 65), (100, 140)]:
+            np.testing.assert_array_equal(
+                geotiff._rows_bytes(info, f, r0, r1), arr[r0:r1]
+            )

@@ -699,6 +699,7 @@ def _raster_sample_oracle_sql() -> str:
 _FRONT = [
     "robots_wildcard",
     "host_graph",
+    "streaming_contamination",
     "dup_spans",
     "contamination",
     "doc_repetition",

@@ -804,6 +804,54 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.contamination(docs, ev, n=8).orderBy("doc_id")
 
 
+def q_streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination probe as a REAL Structured Streaming job:
+    documents arrive as a parquet file stream, the broadcast eval-set
+    shingle dictionary joins stream-static (no stream shuffle on the
+    shingle key — the same plan property as the batch path), and the
+    per-doc aggregation drains with availableNow into the memory sink.
+    Complete mode: each doc lives in one micro-batch, so the final
+    table is exactly the batch answer — same SQL oracle as the batch
+    `contamination` row."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import dedup
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spapy_cont_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src, "documents.parquet"),
+    )
+    batch = load(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+    ev = batch.select("doc_id", "text").where(F.col("doc_id") % 50 == 0)
+    out = dedup.contamination(stream, ev, n=8)
+    name = f"spapy_cont_q_{os.getpid()}"
+    (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).select(
+        "doc_id", "n_spans", "n_eval_spans", "contamination_frac"
+    ).orderBy("doc_id")
+
+
 _SHINGLE8_CTE = (
     "t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),"
     " si AS (SELECT doc_id, tk,"
@@ -1152,6 +1200,7 @@ def build_queries() -> dict:
         "contamination": q_contamination,
         "robots_wildcard": q_robots_wildcard,
         "host_graph": q_host_graph,
+        "streaming_contamination": q_streaming_contamination,
     }
 
 
@@ -1179,4 +1228,5 @@ def build_oracle_sql() -> dict:
         "contamination": _contamination_oracle_sql(),
         "robots_wildcard": _robots_wildcard_oracle_sql(),
         "host_graph": _host_graph_oracle_sql(),
+        "streaming_contamination": _contamination_oracle_sql(),
     }

@@ -85,6 +85,10 @@ def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
             from ..sources import png
 
             img = png.decode_png(payload)
+            if img.dtype == np.uint16:
+                # operator contract is uint8: take the high byte
+                # (the standard 16→8-bit display conversion)
+                img = (img >> 8).astype(np.uint8)
         elif payload[:9] == b"YUV4MPEG2":
             from ..sources import y4m
 

@@ -183,3 +183,21 @@ def test_16bit_big_endian_in_stream():
             assert raw == b"\x00\x01\x02"  # filter byte + BE sample
         pos += 12 + ln
     np.testing.assert_array_equal(png.decode_png(buf), img.reshape(1, 1, 1))
+
+
+def test_decode_image_16bit_png_high_byte():
+    img16 = np.array([[[0x1234, 0xFF00, 0x00FF]]], dtype=np.uint16)
+    out = multimodal.decode_image(
+        png.encode_png(img16), {"format": "png"}, fake=False
+    )
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, [[[0x12, 0xFF, 0x00]]])
+
+
+def test_decode_image_palette_png():
+    pal = np.array([[10, 20, 30], [40, 50, 60]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    out = multimodal.decode_image(
+        png.encode_png_palette(idx, pal), {"format": "png"}, fake=False
+    )
+    np.testing.assert_array_equal(out, pal[idx])

@@ -32,6 +32,7 @@ _HTML_SQL = (
     "<script>if (1 < 2) { var s = \"</p>\"; }</script></head>"
     "<body><!-- nav <b> --><p>' || text || '</p>"
     "<p>A &amp; B &lt;tag&gt;&nbsp;end</p>"
+    "<p>C &#60;x&#62;&#160;D &#38;lt; E&#x26;amp</p>"
     "<div id=\"f\">tail ' || (doc_id % 7) || '</div></body></html>'"
 )
 
@@ -44,7 +45,11 @@ def _html_col() -> F.Column:
             "<body><!-- nav <b> --><p>"
         ),
         F.col("text"),
-        F.lit("</p><p>A &amp; B &lt;tag&gt;&nbsp;end</p>" '<div id="f">tail '),
+        F.lit(
+            "</p><p>A &amp; B &lt;tag&gt;&nbsp;end</p>"
+            "<p>C &#60;x&#62;&#160;D &#38;lt; E&#x26;amp</p>"
+            '<div id="f">tail '
+        ),
         (F.col("doc_id") % 7).cast("string"),
         F.lit("</div></body></html>"),
     )

@@ -36,15 +36,28 @@ _HTML_KILL = (
     r"(?s)<!--.*?-->",
 )
 _HTML_TAG = r"<[^>]*>"
-# Minimal named-entity table (the HTML4 core set a crawler actually
-# hits); numeric entities are out of scope for the oracle-gated op.
+# Minimal entity table: the HTML4 named core set plus the common
+# numeric (decimal + lowercase-hex) forms a crawler actually hits.
+# ORDER IS SEMANTICS: every ampersand-producing entity (&amp;, &#38;,
+# &#x26;) decodes LAST, so "&amp;lt;" / "&#38;lt;" yield the literal
+# text "&lt;" rather than double-decoding to "<".
 _ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&nbsp;", " "),
-    ("&amp;", "&"),  # last, so "&amp;lt;" decodes to "&lt;" not "<"
+    ("&#60;", "<"),
+    ("&#x3c;", "<"),
+    ("&#62;", ">"),
+    ("&#x3e;", ">"),
+    ("&#34;", '"'),
+    ("&#x27;", "'"),
+    ("&#160;", " "),
+    ("&#xa0;", " "),
+    ("&amp;", "&"),
+    ("&#38;", "&"),
+    ("&#x26;", "&"),
 )
 
 

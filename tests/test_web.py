@@ -368,3 +368,13 @@ def test_host_graph_rollup(spark):
         ("a.com", "c.org"): (1, 1),
         ("b.com", "a.com"): (1, 1),
     }
+
+
+def test_html_extract_numeric_entities(spark):
+    df = spark.createDataFrame(
+        [Row(html_text="<p>a &#60;b&#62;&#160;c &#x3c;d&#x3e; "
+                       "&#34;q&#x27; &#38;lt; &#x26;amp</p>")]
+    )
+    out = web.html_extract(df).select("extracted").first()[0]
+    # &#38;lt; -> literal "&lt;" (no double decode); &#x26;amp -> "&amp"
+    assert out == "a <b> c <d> \"q' &lt; &amp"

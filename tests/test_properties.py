@@ -127,3 +127,59 @@ def test_feature_edit_wrappers(spark):
     np.testing.assert_allclose(kernels.segment_lengths(line), [5.0, 4.0])
     xs, ys = kernels.xys_from_coords(line)
     assert xs.tolist() == [0, 3, 3] and ys.tolist() == [0, 4, 8]
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (round 4): LZW / PackBits / PNG forms
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=4000))
+def test_tiff_lzw_roundtrip_property(data):
+    from spapy_spark.sources import tiff_lzw
+
+    assert tiff_lzw.lzw_decode(tiff_lzw.lzw_encode(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=4000),
+       alphabet=st.integers(min_value=1, max_value=4))
+def test_tiff_lzw_low_entropy_property(data, alphabet):
+    # low-entropy inputs drive the dictionary deep (width growth +
+    # resets) — the regime real rasters live in
+    from spapy_spark.sources import tiff_lzw
+
+    small = bytes(b % alphabet for b in data) * 8
+    assert tiff_lzw.lzw_decode(tiff_lzw.lzw_encode(small)) == small
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=3000),
+       row=st.integers(min_value=1, max_value=257))
+def test_packbits_roundtrip_property(data, row):
+    from spapy_spark.sources import packbits as pb
+
+    assert pb.packbits_decode(pb.packbits_encode(data)) == data
+    assert pb.packbits_decode(pb.packbits_encode(data, row_bytes=row)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 12), w=st.integers(1, 12),
+       c=st.sampled_from([1, 3, 4]),
+       ft=st.integers(0, 4),
+       interlace=st.booleans(),
+       bit16=st.booleans(),
+       seed=st.integers(0, 2**31 - 1))
+def test_png_roundtrip_property(h, w, c, ft, interlace, bit16, seed):
+    from spapy_spark.sources import png
+
+    rng = np.random.default_rng(seed)
+    if bit16:
+        img = rng.integers(0, 65536, (h, w, c), dtype=np.uint16)
+    else:
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = png.decode_png(
+        png.encode_png(img, filter_type=ft, interlace=interlace)
+    )
+    np.testing.assert_array_equal(out, img)

@@ -698,6 +698,7 @@ def _raster_sample_oracle_sql() -> str:
 # it drops the ones with the longest green history.
 _FRONT = [
     "robots_wildcard",
+    "robots_meta",
     "host_graph",
     "streaming_contamination",
     "dup_spans",

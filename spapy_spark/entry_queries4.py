@@ -428,6 +428,81 @@ def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.robots_check_wildcard(urls, rules).orderBy("doc_id")
 
 
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay (group-scoped to UA *) + Sitemap (global) parsing
+    (web.robots_meta).  Domain 0 has no wildcard-group delay — its
+    Crawl-delay sits in a bot-specific group and must be ignored."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    ids = docs.select((F.col("doc_id") % 3).alias("j")).distinct()
+    robots = ids.select(
+        F.concat(
+            F.lit("example"), F.col("j").cast("string"), F.lit(".com")
+        ).alias("domain"),
+        F.concat(
+            F.lit(
+                "User-agent: bot\nCrawl-delay: 9\nDisallow: /\n"
+                "Sitemap: https://maps.example/s0.xml\n"
+                "User-agent: *\nDisallow: /tmp\n"
+            ),
+            F.when(
+                F.col("j") > 0,
+                F.concat(
+                    F.lit("Crawl-delay: "),
+                    (F.col("j") * 2).cast("string"),
+                    F.lit(".5\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("Sitemap: https://maps.example/s"),
+            F.col("j").cast("string"),
+            F.lit(".xml"),
+        ).alias("robots_txt"),
+    )
+    return web.robots_meta(robots).orderBy("domain")
+
+
+def _robots_meta_oracle_sql() -> str:
+    txt = (
+        "'User-agent: bot' || chr(10) || 'Crawl-delay: 9' || chr(10) ||"
+        " 'Disallow: /' || chr(10) ||"
+        " 'Sitemap: https://maps.example/s0.xml' || chr(10) ||"
+        " 'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) ||"
+        " (CASE WHEN j > 0 THEN 'Crawl-delay: ' || (j * 2) || '.5'"
+        " || chr(10) ELSE '' END) ||"
+        " 'Sitemap: https://maps.example/s' || j || '.xml'"
+    )
+    return (
+        "WITH ids AS (SELECT DISTINCT doc_id % 3 AS j FROM documents),"
+        f" rb AS (SELECT 'example' || j || '.com' AS domain, {txt}"
+        " AS robots_txt FROM ids),"
+        " tk AS (SELECT domain, string_split(robots_txt, chr(10)) AS toks"
+        " FROM rb),"
+        " s AS (SELECT domain, toks,"
+        " unnest(generate_series(1, len(toks))) AS ln FROM tk),"
+        " l AS (SELECT domain, ln, toks[ln] AS line FROM s),"
+        " g AS (SELECT domain, ln, line,"
+        " SUM(CASE WHEN line LIKE 'User-agent:%' THEN 1 ELSE 0 END)"
+        " OVER (PARTITION BY domain ORDER BY ln"
+        " ROWS UNBOUNDED PRECEDING) AS gid,"
+        " CASE WHEN line LIKE 'User-agent:%' THEN"
+        " trim(regexp_extract(line, '^User-agent:(.*)$', 1)) END AS ua_line"
+        " FROM l),"
+        " g2 AS (SELECT *, MAX(ua_line) OVER (PARTITION BY domain, gid)"
+        " AS ua FROM g),"
+        " m AS (SELECT domain,"
+        " CASE WHEN ua = '*' AND"
+        r" regexp_matches(line, '^Crawl-delay: *[0-9]+(\.[0-9]+)? *$')"
+        " THEN CAST(regexp_extract(line, '^Crawl-delay: *([0-9.]+)', 1)"
+        " AS DOUBLE) END AS delay,"
+        " CASE WHEN line LIKE 'Sitemap:%' THEN"
+        " trim(regexp_extract(line, '^Sitemap:(.*)$', 1)) END AS smap"
+        " FROM g2)"
+        " SELECT domain, MIN(delay) AS crawl_delay,"
+        " CAST(COUNT(smap) AS BIGINT) AS n_sitemaps,"
+        " MIN(smap) AS first_sitemap"
+        " FROM m GROUP BY domain ORDER BY domain"
+    )
+
+
 def _rule_regex_sql(rule: str) -> str:
     """DuckDB twin of web.robots_rule_regex_col over expression
     ``rule`` — same replace chain, same anchor handling."""
@@ -1206,6 +1281,7 @@ def build_queries() -> dict:
         "robots_wildcard": q_robots_wildcard,
         "host_graph": q_host_graph,
         "streaming_contamination": q_streaming_contamination,
+        "robots_meta": q_robots_meta,
     }
 
 
@@ -1234,4 +1310,5 @@ def build_oracle_sql() -> dict:
         "robots_wildcard": _robots_wildcard_oracle_sql(),
         "host_graph": _host_graph_oracle_sql(),
         "streaming_contamination": _contamination_oracle_sql(),
+        "robots_meta": _robots_meta_oracle_sql(),
     }

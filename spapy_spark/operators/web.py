@@ -407,6 +407,56 @@ def robots_check(
     )
 
 
+def robots_meta(
+    df: DataFrame, txt_col: str = "robots_txt", key: str = "domain"
+) -> DataFrame:
+    """Per-domain crawl metadata from robots.txt: the ``Crawl-delay``
+    inside the ``User-agent: *`` group (the politeness interval a
+    frontier scheduler consumes) and the ``Sitemap:`` directives
+    (global per RFC 9309 — they live outside group scoping).
+
+    Same distributed parse as robots_rules: one explode + two windows
+    per domain, then a single map-side-combined aggregate."""
+    lines = df.select(
+        key, F.posexplode(F.split(F.col(txt_col), "\n")).alias("ln", "line")
+    )
+    is_ua = F.col("line").startswith("User-agent:")
+    wrun = (
+        Window.partitionBy(key)
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lines = lines.withColumn(
+        "gid", F.sum(F.when(is_ua, 1).otherwise(0)).over(wrun)
+    ).withColumn(
+        "ua_line",
+        F.when(is_ua, F.trim(F.regexp_extract("line", r"^User-agent:(.*)$", 1))),
+    )
+    wg = Window.partitionBy(key, "gid")
+    lines = lines.withColumn("ua", F.max("ua_line").over(wg))
+    delay = F.when(
+        (F.col("ua") == "*")
+        & (F.col("line").rlike(r"^Crawl-delay: *[0-9]+(\.[0-9]+)? *$")),
+        F.regexp_extract("line", r"^Crawl-delay: *([0-9.]+)", 1).cast(
+            "double"
+        ),
+    )
+    smap = F.when(
+        F.col("line").startswith("Sitemap:"),
+        F.trim(F.regexp_extract("line", r"^Sitemap:(.*)$", 1)),
+    )
+    return (
+        lines.withColumn("delay", delay)
+        .withColumn("smap", smap)
+        .groupBy(key)
+        .agg(
+            F.min("delay").alias("crawl_delay"),
+            F.count("smap").cast("long").alias("n_sitemaps"),
+            F.min("smap").alias("first_sitemap"),
+        )
+    )
+
+
 # RFC 9309 wildcard rules: '*' matches any run, trailing '$' anchors
 # the end of the path.  The rule translates to an RE2-safe regex by
 # literal-escaping every metacharacter, then expanding '*'.  The

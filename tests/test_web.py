@@ -378,3 +378,26 @@ def test_html_extract_numeric_entities(spark):
     out = web.html_extract(df).select("extracted").first()[0]
     # &#38;lt; -> literal "&lt;" (no double decode); &#x26;amp -> "&amp"
     assert out == "a <b> c <d> \"q' &lt; &amp"
+
+
+def test_robots_meta_group_scoping(spark):
+    txt = (
+        "User-agent: bot\nCrawl-delay: 9\nDisallow: /\n"
+        "Sitemap: https://m.ex/a.xml\n"
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"
+        "Sitemap: https://m.ex/b.xml"
+    )
+    df = spark.createDataFrame([Row(domain="d.com", robots_txt=txt)])
+    r = web.robots_meta(df).first()
+    # bot-group delay (9) ignored; sitemaps are global
+    assert r["crawl_delay"] == 2.5
+    assert r["n_sitemaps"] == 2
+    assert r["first_sitemap"] == "https://m.ex/a.xml"
+
+
+def test_robots_meta_no_wildcard_delay(spark):
+    txt = "User-agent: bot\nCrawl-delay: 9\nUser-agent: *\nDisallow: /p"
+    df = spark.createDataFrame([Row(domain="d.com", robots_txt=txt)])
+    r = web.robots_meta(df).first()
+    assert r["crawl_delay"] is None
+    assert r["n_sitemaps"] == 0

@@ -154,6 +154,7 @@ def main():
                 "dup_spans",
                 "contamination",
                 "robots_wildcard",
+                "robots_meta",
                 "host_graph",
             )
         )

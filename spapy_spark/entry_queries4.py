@@ -1143,8 +1143,9 @@ def _canon_sql_expr() -> str:
     c = rf"regexp_replace({c}, '^(https://[^/:?#]+):443(/|$)', '\1\2', 'g')"
     c = rf"regexp_replace({c}, '^(http://[^/:?#]+):80(/|$)', '\1\2', 'g')"
     c = rf"regexp_replace({c}, '^([a-z]+://)www\.', '\1', 'g')"
-    c = f"regexp_replace({c}, 'utm_[A-Za-z]+=[^&#]*&', '', 'g')"
-    c = rf"regexp_replace({c}, '[?&]utm_[A-Za-z]+=[^&#]*$', '', 'g')"
+    c = f"regexp_replace({c}, '&utm_[A-Za-z]+=[^&#]*', '', 'g')"
+    c = f"regexp_replace({c}, '\\?utm_[A-Za-z]+=[^&#]*&', '?', 'g')"
+    c = f"regexp_replace({c}, '\\?utm_[A-Za-z]+=[^&#]*$', '', 'g')"
     c = rf"regexp_replace({c}, '\?$', '', 'g')"
     return c
 

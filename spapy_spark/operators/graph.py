@@ -61,6 +61,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         # neighbor min: lbl'(v) = min(lbl(v), min_{u~v} lbl(u))
         nbr = (
@@ -98,6 +99,15 @@ def connected_components(
         labels = doubled
         if changed == 0:
             break
+    if changed != 0:
+        # every round halves the pointer-chain depth, so max_iter=25
+        # covers diameters to ~2^25; exhausting it means the labels
+        # are NOT a fixpoint — failing silently would hand wrong
+        # clusters to dedup_clusters.
+        raise RuntimeError(
+            "connected_components did not converge in "
+            f"{max_iter} iterations; raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("cluster"))
 
 

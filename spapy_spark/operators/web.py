@@ -199,9 +199,13 @@ def url_canonicalize_col(url: Column) -> Column:
     c = F.regexp_replace(c, r"^(https://[^/:?#]+):443(/|$)", r"$1$2")
     c = F.regexp_replace(c, r"^(http://[^/:?#]+):80(/|$)", r"$1$2")
     c = F.regexp_replace(c, r"^([a-z]+://)www\.", r"$1")
-    # utm params: mid-query (utm_x=v&) then trailing (?utm_x=v / &utm_x=v)
-    c = F.regexp_replace(c, r"utm_[A-Za-z]+=[^&#]*&", "")
-    c = F.regexp_replace(c, r"[?&]utm_[A-Za-z]+=[^&#]*$", "")
+    # utm params, anchored to a ?/& parameter boundary so 'xutm_a=1'
+    # or a path containing 'utm_' is never mangled: (1) every &utm_x=v
+    # anywhere, (2) utm first-in-query with params after, (3) utm as
+    # the only param.
+    c = F.regexp_replace(c, r"&utm_[A-Za-z]+=[^&#]*", "")
+    c = F.regexp_replace(c, r"\?utm_[A-Za-z]+=[^&#]*&", "?")
+    c = F.regexp_replace(c, r"\?utm_[A-Za-z]+=[^&#]*$", "")
     c = F.regexp_replace(c, r"\?$", "")
     return c
 

@@ -561,44 +561,53 @@ def encode_jpeg_progressive(
                 return True
             return False
 
+        # DC scans: a single-component (Ns=1) scan is decoded over the
+        # component's TRUE ceil block grid (T.81 A.2.2 — see
+        # _decode_scan_progressive), which for subsampled components can
+        # be smaller than the MCU-padded allocation.  Walk the same
+        # grid the decoder walks.
+        def dc_units():
+            if len(comp_idx) == 1:
+                ci = comp_idx[0]
+                c = comps_meta[ci]
+                gh, gw = _comp_block_grid(frame, c)
+                for by in range(gh):
+                    for bx in range(gw):
+                        yield [(ci, by, bx)]
+            else:
+                for my in range(n_mcu_y):
+                    for mx in range(n_mcu_x):
+                        blocks = []
+                        for ci in comp_idx:
+                            c = comps_meta[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    blocks.append((ci, my * c["v"] + by,
+                                                   mx * c["h"] + bx))
+                        yield blocks
+
         if ss == 0 and ah == 0:         # ---- DC first
             preds = [0] * ncomp
-            ui = 0
-            for my in range(n_mcu_y):
-                for mx in range(n_mcu_x):
-                    if restart(ui):
-                        preds = [0] * ncomp
-                    ui += 1
-                    for ci in comp_idx:
-                        c = comps_meta[ci]
-                        for by in range(c["v"]):
-                            for bx in range(c["h"]):
-                                zz = comp_blocks[ci][my * c["v"] + by,
-                                                     mx * c["h"] + bx]
-                                v = int(zz[0]) >> al
-                                diff = v - preds[ci]
-                                preds[ci] = v
-                                t = _bit_length(abs(diff))
-                                code, ln = dc_tab[t]
-                                bw.write(code, ln)
-                                if t:
-                                    bw.write(diff if diff >= 0
-                                             else diff + (1 << t) - 1, t)
-                    # gray ns=1 scans are decoded over the component
-                    # grid, identical to this walk for 1x1 sampling
+            for ui, blocks in enumerate(dc_units()):
+                if restart(ui):
+                    preds = [0] * ncomp
+                for ci, by, bx in blocks:
+                    zz = comp_blocks[ci][by, bx]
+                    v = int(zz[0]) >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _bit_length(abs(diff))
+                    code, ln = dc_tab[t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << t) - 1, t)
         elif ss == 0:                   # ---- DC refinement: raw bits
-            ui = 0
-            for my in range(n_mcu_y):
-                for mx in range(n_mcu_x):
-                    restart(ui)
-                    ui += 1
-                    for ci in comp_idx:
-                        c = comps_meta[ci]
-                        for by in range(c["v"]):
-                            for bx in range(c["h"]):
-                                zz = comp_blocks[ci][my * c["v"] + by,
-                                                     mx * c["h"] + bx]
-                                bw.write((int(zz[0]) >> al) & 1, 1)
+            for ui, blocks in enumerate(dc_units()):
+                restart(ui)
+                for ci, by, bx in blocks:
+                    zz = comp_blocks[ci][by, bx]
+                    bw.write((int(zz[0]) >> al) & 1, 1)
         else:                           # ---- AC scans: one component
             (ci,) = comp_idx
             c = comps_meta[ci]

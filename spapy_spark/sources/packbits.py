@@ -18,7 +18,10 @@ def packbits_decode(data: bytes) -> bytes:
         c = data[i]
         i += 1
         if c < 128:
-            out += data[i : i + c + 1]
+            lit = data[i : i + c + 1]
+            if len(lit) < c + 1:
+                raise ValueError("truncated PackBits literal")
+            out += lit
             i += c + 1
         elif c > 128:
             if i >= n:

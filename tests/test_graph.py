@@ -51,6 +51,17 @@ def test_cc_long_chain_pointer_doubling(spark):
     assert all(r["cluster"] == 0 for r in out)
 
 
+def test_cc_raises_when_unconverged(spark):
+    # 60-node path with max_iter=2 cannot reach the fixpoint; silent
+    # truncation would hand wrong clusters to dedup_clusters
+    import pytest
+
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, max_iter=2)
+
+
 def test_cc_self_loops_and_dupes(spark):
     edges = [(1, 1), (2, 3), (3, 2), (2, 3)]
     df = spark.createDataFrame(edges, "src long, dst long")

@@ -227,6 +227,27 @@ class TestProgressive:
         )
         np.testing.assert_array_equal(prog, base)
 
+    def test_noninterleaved_dc_scan_subsampled_short_frame(self):
+        # Ns=1 DC scans on a 4:2:0 frame 8 rows tall: the luma MCU
+        # padding grid (2x6 blocks) exceeds the true ceil grid (1x5);
+        # the decoder walks the true grid for single-component DC
+        # scans, so the encoder must too (r4 ADVICE jpeg.py:587)
+        img = _img(8, 40, 3, seed=5)
+        scans = [
+            ([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1), ([2], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0),
+            ([0], 0, 0, 1, 0), ([1], 0, 0, 1, 0), ([2], 0, 0, 1, 0),
+        ]
+        base = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=80, subsampling="4:2:0")
+        )
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(
+                img, quality=80, subsampling="4:2:0", scans=scans
+            )
+        )
+        np.testing.assert_array_equal(prog, base)
+
     def test_multimodal_decodes_progressive(self, spark):
         from spapy_spark.operators import multimodal
 

@@ -40,18 +40,46 @@ def test_kwkwk_case():
 
 
 def test_width_switch_position_is_early():
-    # 253 two-byte novel pairs fill the table to next_code=511: the
-    # encoder must switch to 10-bit codes one entry EARLY (TIFF early
-    # change), which shows up as a fixed total bitstream length
-    data = bytes()
-    # distinct pairs (i, 255-i) then (i, 254-i)... ensure novelty
+    # Input crafted so EVERY adjacent pair is novel: each LZW step
+    # emits a literal byte code and adds exactly one table entry, so
+    # the expected code stream is computable here without a string
+    # table — only the TIFF early-change width rule (switch when
+    # next_code == 2^width - 1, one entry before the table fills) is
+    # modeled, independently of the encoder.
+    data = bytes(
+        [b for k in range(1, 128) for b in (0, k)]  # (0,k),(k,0) pairs
+        + [b for k in range(2, 22) for b in (1, k)]  # 10-bit tail
+    )
+    codes = [(256, 9)]  # CLEAR
+    next_code, width = 258, 9
+    for prev in data[:-1]:
+        codes.append((prev, width))
+        next_code += 1
+        if next_code == (1 << width) - 1:  # TIFF early change
+            width += 1
+    codes.append((data[-1], width))
+    codes.append((257, width))  # EOI
+    assert width == 10  # the fixture really crosses the boundary
+    expected = _pack(codes)
+    enc = tiff_lzw.lzw_encode(data)
+    assert enc == expected  # byte-exact, pins the switch position
+    assert tiff_lzw.lzw_decode(enc) == data
+
+
+def test_width_switch_big_input_pinned_length():
+    # regression pin for the larger structured input: length + stream
+    # digest recorded from the libtiff-verified encoder (r4 manual
+    # interop check), so a mirrored encoder+decoder drift cannot pass
+    import hashlib
+
     parts = []
     for i in range(256):
         parts.append(bytes([i, (i * 7 + 3) % 256]))
     data = b"".join(parts)
     enc = tiff_lzw.lzw_encode(data)
-    dec = tiff_lzw.lzw_decode(enc)
-    assert dec == data
+    assert len(enc) == 611
+    assert hashlib.md5(enc).hexdigest() == "43b66fdf339812b60d2a8d39fd741906"
+    assert tiff_lzw.lzw_decode(enc) == data
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -156,6 +184,19 @@ def test_packbits_roundtrip_edges():
     for c in cases:
         assert pb.packbits_decode(pb.packbits_encode(c)) == c
         assert pb.packbits_decode(pb.packbits_encode(c, row_bytes=64)) == c
+
+
+def test_packbits_truncated_streams_raise():
+    from spapy_spark.sources import packbits as pb
+
+    # literal control byte promising 5 bytes, only 2 present
+    with pytest.raises(ValueError, match="truncated PackBits literal"):
+        pb.packbits_decode(bytes([0x04, 0x11, 0x22]))
+    # repeat control byte with no payload byte
+    with pytest.raises(ValueError, match="truncated PackBits repeat"):
+        pb.packbits_decode(bytes([0xFE]))
+    # exact-length literal still fine
+    assert pb.packbits_decode(bytes([0x01, 0x11, 0x22])) == b"\x11\x22"
 
 
 def test_geotiff_packbits_roundtrip(tmp_path):

@@ -65,6 +65,26 @@ def test_pii_counts_are_preredaction(spark):
         ("http://a.B.com:8080/UP", "http://a.b.com:8080/UP", "b.com"),
         # lone utm param leaves no dangling '?'
         ("https://x.io/?utm_x=1", "https://x.io/", "x.io"),
+        # 'utm_' mid-token is NOT a tracking param (r4 ADVICE): the
+        # strip must anchor to a ?/& boundary
+        (
+            "https://x.io/p?xutm_a=1&b=2",
+            "https://x.io/p?xutm_a=1&b=2",
+            "x.io",
+        ),
+        # 'utm_' in the path stays untouched
+        (
+            "https://x.io/autm_b=c&d/e?id=3",
+            "https://x.io/autm_b=c&d/e?id=3",
+            "x.io",
+        ),
+        # consecutive utm params all stripped
+        (
+            "https://x.io/p?utm_a=1&utm_b=2&id=9",
+            "https://x.io/p?id=9",
+            "x.io",
+        ),
+        ("https://x.io/p?utm_a=1&utm_b=2", "https://x.io/p", "x.io"),
     ],
 )
 def test_url_canonicalize(spark, url, canon, domain):

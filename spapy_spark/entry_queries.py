@@ -697,6 +697,12 @@ def _raster_sample_oracle_sql() -> str:
 # r1 and are trivially re-verifiable plain SQL — if a cap drops rows,
 # it drops the ones with the longest green history.
 _FRONT = [
+    # round-5 new rows first (driver caps CORRECTNESS at 50)
+    "crs_nad27",
+    "geojson_roundtrip",
+    "gpkg_roundtrip",
+    "aaigrid_roundtrip",
+    "png_raster_stats",
     "robots_wildcard",
     "robots_meta",
     "host_graph",
@@ -782,22 +788,26 @@ def _base_queries() -> dict:
 
 
 def _round2_queries() -> dict:
-    from . import entry_queries2, entry_queries3, entry_queries4
+    from . import (entry_queries2, entry_queries3, entry_queries4,
+                   entry_queries5)
 
     return {
         **entry_queries2.build_queries(),
         **entry_queries3.build_queries(),
         **entry_queries4.build_queries(),
+        **entry_queries5.build_queries(),
     }
 
 
 def _round2_oracles() -> dict:
-    from . import entry_queries2, entry_queries3, entry_queries4
+    from . import (entry_queries2, entry_queries3, entry_queries4,
+                   entry_queries5)
 
     return {
         **entry_queries2.build_oracle_sql(),
         **entry_queries3.build_oracle_sql(),
         **entry_queries4.build_oracle_sql(),
+        **entry_queries5.build_oracle_sql(),
     }
 
 

@@ -356,6 +356,160 @@ class _LonLat:
     inverse = forward
 
 
+# ---------------------------------------------------------------------------
+# Datum shifts (geographic CRSes on non-WGS84 ellipsoids)
+# ---------------------------------------------------------------------------
+# The reference handles any datum through pyproj
+# (/root/reference/SpaReferencing.py:162-271).  Here geographic-side
+# shifts are implemented exactly: geodetic→geocentric on the source
+# ellipsoid, a 3/7-parameter Helmert to WGS84 ECEF (EPSG method 9603 /
+# 9606 position-vector), geocentric→geodetic on WGS84.  Heights are
+# taken as 0 (2-D engine).  PROJECTED CRSes on foreign ellipsoids
+# still raise — the projection kernels above are WGS84-parameterized,
+# and silently projecting NAD27 coordinates with WGS84 constants would
+# be off by hundreds of meters.
+
+#: proj4 ellipsoid registry entries used by the datums below: (a, 1/f)
+_ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "clrk66": (6378206.4, 294.9786982),     # Clarke 1866 (NAD27)
+    "airy": (6377563.396, 299.3249646),     # Airy 1830 (OSGB36)
+    "intl": (6378388.0, 297.0),             # International 1924 (ED50)
+}
+
+#: datum → (ellipsoid key, towgs84 params) — proj4 registry values
+#: (3-param: dx,dy,dz in meters; 7-param adds rx,ry,rz arcsec + scale
+#: ppm, position-vector sign convention)
+_DATUMS = {
+    "WGS84": ("WGS84", (0.0, 0.0, 0.0)),
+    "NAD83": ("GRS80", (0.0, 0.0, 0.0)),
+    "NAD27": ("clrk66", (-8.0, 160.0, 176.0)),
+    "OSGB36": ("airy", (446.448, -125.157, 542.060,
+                        0.1502, 0.2470, 0.8421, -20.4894)),
+    "ED50": ("intl", (-87.0, -98.0, -121.0)),
+}
+
+
+def _geodetic_to_ecef(lon, lat, a: float, rf: float):
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    sphi = np.sin(phi)
+    n = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    x = n * np.cos(phi) * np.cos(lam)
+    y = n * np.cos(phi) * np.sin(lam)
+    z = n * (1.0 - e2) * sphi
+    return x, y, z
+
+
+def _ecef_to_geodetic(x, y, z, a: float, rf: float):
+    """Bowring's closed-form first guess + 2 Newton refinements —
+    sub-nanometer for earth-surface points."""
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = np.hypot(x, y)
+    lam = np.arctan2(y, x)
+    theta = np.arctan2(z * a, p * b)
+    phi = np.arctan2(z + ep2 * b * np.sin(theta) ** 3,
+                     p - e2 * a * np.cos(theta) ** 3)
+    for _ in range(2):
+        sphi = np.sin(phi)
+        n = a / np.sqrt(1.0 - e2 * sphi * sphi)
+        h = p / np.cos(phi) - n
+        phi = np.arctan2(z, p * (1.0 - e2 * n / (n + h)))
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert(x, y, z, p, inverse: bool = False):
+    """3- or 7-parameter Helmert (position-vector, EPSG 9606; the
+    small-angle form proj's +towgs84 uses)."""
+    if len(p) == 3:
+        dx, dy, dz = p
+        rx = ry = rz = 0.0
+        s = 0.0
+    else:
+        dx, dy, dz, rx_s, ry_s, rz_s, s_ppm = p
+        asec = np.pi / 648000.0
+        rx, ry, rz = rx_s * asec, ry_s * asec, rz_s * asec
+        s = s_ppm * 1e-6
+    m = 1.0 + s
+    if not inverse:
+        x2 = m * (x - rz * y + ry * z) + dx
+        y2 = m * (rz * x + y - rx * z) + dy
+        z2 = m * (-ry * x + rx * y + z) + dz
+        return x2, y2, z2
+    # exact small-form inverse: undo translation, then solve the
+    # rotation+scale by its own (orthogonal-to-first-order) transpose;
+    # one fixed-point refinement kills the second-order residual
+    u, v, w = x - dx, y - dy, z - dz
+    x1, y1, z1 = u / m, v / m, w / m
+    for _ in range(2):
+        x1 = (u / m) - (-rz * y1 + ry * z1)
+        y1 = (v / m) - (rz * x1 - rx * z1)
+        z1 = (w / m) - (-ry * x1 + rx * y1)
+    return x1, y1, z1
+
+
+class _LonLatDatum:
+    """Geographic CRS on a foreign datum.  ``inverse`` (native lon/lat
+    → WGS84 lon/lat) and ``forward`` (WGS84 → native) follow the same
+    orientation contract as the projected classes above."""
+
+    def __init__(self, a: float, rf: float, towgs84):
+        self.a, self.rf = float(a), float(rf)
+        self.towgs84 = tuple(float(v) for v in towgs84)
+
+    def inverse(self, lon, lat):
+        x, y, z = _geodetic_to_ecef(lon, lat, self.a, self.rf)
+        x, y, z = _helmert(x, y, z, self.towgs84)
+        return _ecef_to_geodetic(x, y, z, *_ELLIPSOIDS["WGS84"])
+
+    def forward(self, lon, lat):
+        x, y, z = _geodetic_to_ecef(lon, lat, *_ELLIPSOIDS["WGS84"])
+        x, y, z = _helmert(x, y, z, self.towgs84, inverse=True)
+        return _ecef_to_geodetic(x, y, z, self.a, self.rf)
+
+
+def _datum_of(d: dict):
+    """proj dict → _LonLatDatum when it names a shifted datum /
+    towgs84 / foreign ellipsoid; None for WGS84-equivalent."""
+    datum = str(d.get("datum", "")).upper() if "datum" in d else None
+    ellps = d.get("ellps")
+    tow = d.get("towgs84")
+    if tow is not None:
+        if isinstance(tow, str):
+            tow = [float(v) for v in tow.split(",")]
+        a, rf = _ELLIPSOIDS.get(str(ellps or "WGS84"),
+                                _ELLIPSOIDS["WGS84"])
+        if "a" in d:
+            a = float(d["a"])
+        if "rf" in d:
+            rf = float(d["rf"])
+        if len(tuple(tow)) not in (3, 7):
+            raise ValueError("towgs84 needs 3 or 7 parameters")
+        if all(float(v) == 0.0 for v in tow) and abs(a - 6378137.0) < 1.0:
+            return None
+        return _LonLatDatum(a, rf, tow)
+    if datum:
+        if datum in ("WGS84", "NAD83"):
+            return None
+        if datum not in _DATUMS:
+            raise ValueError(f"unsupported datum {datum!r}")
+        ek, tow = _DATUMS[datum]
+        a, rf = _ELLIPSOIDS[ek]
+        return _LonLatDatum(a, rf, tow)
+    if ellps and str(ellps) not in ("WGS84", "GRS80"):
+        raise ValueError(
+            f"ellps {ellps!r} needs +datum or +towgs84 to define the "
+            "shift to WGS84"
+        )
+    return None
+
+
 def parse_proj4(s: str) -> dict:
     """'+proj=aea +lat_1=29.5 …' → proj dict (the reference accepts
     proj4 strings alongside dicts/EPSG ints,
@@ -402,7 +556,7 @@ def from_proj_dict(d: dict):
     elif proj in ("merc", "webmerc"):
         base = _WebMercator()
     elif proj in ("longlat", "latlong"):
-        base = _LonLat()
+        base = _datum_of(d) or _LonLat()
     else:
         raise ValueError(f"unsupported proj {proj!r}")
     to_m = d.get("to_meter")
@@ -571,6 +725,54 @@ def _wkt_walk(node):
             yield from _wkt_walk(a)
 
 
+#: DATUM-name fragments → _DATUMS keys (WKT1 spellings vary:
+#: 'D_North_American_1927', 'North_American_Datum_1927', …)
+_WKT_DATUM_HINTS = (
+    ("1927", "NAD27"), ("NAD27", "NAD27"),
+    ("1983", "NAD83"), ("NAD83", "NAD83"),
+    ("OSGB", "OSGB36"), ("ORDNANCE", "OSGB36"),
+    ("EUROPEAN", "ED50"), ("ED50", "ED50"),
+    ("WGS", "WGS84"),
+)
+
+
+def _geog_wkt_dict(root) -> dict:
+    """Geographic WKT → longlat proj dict carrying the datum shift.
+    A TOWGS84 node wins; else the DATUM name is matched against known
+    datums; an unknown name on a non-WGS84 spheroid raises (never
+    silently treat NAD27 degrees as WGS84 degrees)."""
+    d: dict = {"proj": "longlat"}
+    for n in _wkt_walk(root):
+        if n.name == "TOWGS84":
+            d["towgs84"] = [float(v) for v in n.args
+                            if isinstance(v, float)]
+    a_axis, rf = 6378137.0, 298.257223563
+    for n in _wkt_walk(root):
+        if n.name in ("SPHEROID", "ELLIPSOID"):
+            nums = [v for v in n.args if isinstance(v, float)]
+            if len(nums) >= 2:
+                a_axis, rf = nums[0], nums[1]
+            break
+    if "towgs84" in d:
+        d["a"], d["rf"] = a_axis, rf
+        return d
+    datum_name = ""
+    for n in _wkt_walk(root):
+        if n.name in ("DATUM", "TRF", "GEODETICDATUM"):
+            datum_name = str(n.args[0]).upper() if n.args else ""
+            break
+    for frag, key in _WKT_DATUM_HINTS:
+        if frag in datum_name:
+            d["datum"] = key
+            return d
+    if abs(a_axis - 6378137.0) > 1.0:
+        raise ValueError(
+            f"unknown geographic datum {datum_name!r} on a non-WGS84 "
+            f"spheroid (a={a_axis}) — provide TOWGS84"
+        )
+    return d
+
+
 def wkt_to_proj_dict(s: str) -> dict:
     """WKT CRS string → proj-style dict routed to the engine's kernel
     families.  Handles WKT1/ESRI (PROJCS/PROJECTION/PARAMETER/UNIT)
@@ -582,7 +784,7 @@ def wkt_to_proj_dict(s: str) -> dict:
     1866 would be off by hundreds of meters)."""
     root, _ = _wkt_node(s, 0)
     if root.name in _GEOG_NAMES:
-        return {"proj": "longlat"}
+        return _geog_wkt_dict(root)
     if root.name not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
         raise ValueError(f"unsupported WKT root {root.name}")
     for n in _wkt_walk(root):
@@ -658,6 +860,14 @@ def transform_arrays(x, y, src, dst):
         s = spec.lower()
         if s in _EPSG_CONICS:
             return _EPSG_CONICS[s]
+        if s == "epsg:4267":  # NAD27 geographic
+            return dict(proj="longlat", datum="NAD27")
+        if s == "epsg:4277":  # OSGB36 geographic
+            return dict(proj="longlat", datum="OSGB36")
+        if s == "epsg:4230":  # ED50 geographic
+            return dict(proj="longlat", datum="ED50")
+        if s == "epsg:4269":  # NAD83 geographic (≈ WGS84, mm-level)
+            return "epsg:4326"
         if s.startswith("epsg:269") and len(s) == 10:
             # NAD83 UTM north zones (26901-26923) — GRS80 ≈ WGS84 here
             return dict(proj="utm", zone=int(s[8:]))

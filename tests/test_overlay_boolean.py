@@ -160,3 +160,118 @@ def _sequential_fold(rows, op):
         if acc is None:
             return None
     return acc
+
+
+def test_self_overlay_fold_difference_distributed(spark):
+    """difference fold = A0 - union(rest): distributed result must be
+    point-set identical to the sequential left fold (MC membership)
+    and exact-area equal on dyadic inputs."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(0, wkb.dumps(wkb.box(0.0, 0.0, 16.0, 16.0)))]
+    for i in range(1, 40):
+        x = float(rng.integers(0, 14 * 64)) / 64.0
+        y = float(rng.integers(0, 14 * 64)) / 64.0
+        w = float(rng.integers(32, 3 * 64)) / 64.0
+        h = float(rng.integers(32, 3 * 64)) / 64.0
+        rows.append((i, wkb.dumps(wkb.box(x, y, x + w, y + h))))
+    # NOTE: createDataFrame splits the list in order (no shuffle), so
+    # feature 0 stays the fold head; a repartition() would reorder and
+    # legitimately change which feature leads the fold
+    df = spark.createDataFrame(rows, "fid long, geometry binary")
+    assert df.rdd.getNumPartitions() > 1
+    dist = overlay.self_overlay_fold(df, "difference")
+    seq = _sequential_fold(rows, "difference")
+    assert dist is not None and seq is not None
+    assert kernels.geom_area(dist) == pytest.approx(
+        kernels.geom_area(seq), abs=1e-9
+    )
+    # MC membership: p ∈ result ⟺ p ∈ A0 and p ∉ any other box
+    px = rng.uniform(-1, 17, 4000)
+    py = rng.uniform(-1, 17, 4000)
+    got = kernels.points_in_polygon_geom(px, py, dist)
+    boxes = [wkb.loads(bytes(b)) for _, b in rows]
+    in0 = kernels.points_in_polygon_geom(px, py, boxes[0])
+    in_rest = np.zeros(len(px), dtype=bool)
+    for g in boxes[1:]:
+        in_rest |= kernels.points_in_polygon_geom(px, py, g)
+    exp = in0 & ~in_rest
+    # exclude points within eps of any box edge (boundary ambiguity)
+    eps = 1e-9
+    safe = np.ones(len(px), dtype=bool)
+    for g in boxes:
+        r = np.asarray(list(wkb.polygons_of(g))[0][0])
+        x0, y0 = r.min(axis=0); x1, y1 = r.max(axis=0)
+        for v in (x0, x1):
+            safe &= np.abs(px - v) > eps
+        for v in (y0, y1):
+            safe &= np.abs(py - v) > eps
+    assert (got[safe] == exp[safe]).all()
+
+
+def test_self_overlay_fold_difference_empty_and_single(spark):
+    rows = [(0, wkb.dumps(wkb.box(0, 0, 4, 4)))]
+    df1 = spark.createDataFrame(rows, "fid long, geometry binary")
+    only = overlay.self_overlay_fold(df1, "difference")
+    assert kernels.geom_area(only) == pytest.approx(16.0)
+    # fully swallowed => empty result (None)
+    rows2 = rows + [(1, wkb.dumps(wkb.box(-1, -1, 5, 5)))]
+    df2 = spark.createDataFrame(rows2, "fid long, geometry binary")
+    assert overlay.self_overlay_fold(df2, "difference") is None
+    dfe = spark.createDataFrame([], "fid long, geometry binary")
+    assert overlay.self_overlay_fold(dfe, "difference") is None
+
+
+def test_self_overlay_fold_symdiff_distributed(spark):
+    """symdiff is associative (odd-coverage set): the distributed
+    partial fold must match the sequential fold by exact area and MC
+    odd-coverage membership on dyadic inputs."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(24):
+        x = float(rng.integers(0, 10 * 64)) / 64.0
+        y = float(rng.integers(0, 10 * 64)) / 64.0
+        rows.append((i, wkb.dumps(wkb.box(x, y, x + 2.0, y + 2.0))))
+    df = spark.createDataFrame(
+        rows, "fid long, geometry binary"
+    ).repartition(6)
+    dist = overlay.self_overlay_fold(df, "symmetric_difference")
+    seq = _sequential_fold(rows, "symmetric_difference")
+    assert dist is not None and seq is not None
+    assert kernels.geom_area(dist) == pytest.approx(
+        kernels.geom_area(seq), abs=1e-6
+    )
+    px = rng.uniform(-1, 13, 4000)
+    py = rng.uniform(-1, 13, 4000)
+    boxes = [wkb.loads(bytes(b)) for _, b in rows]
+    cover = np.zeros(len(px), dtype=np.int64)
+    for g in boxes:
+        cover += kernels.points_in_polygon_geom(px, py, g).astype(np.int64)
+    eps = 1e-9
+    safe = np.ones(len(px), dtype=bool)
+    for g in boxes:
+        r = np.asarray(list(wkb.polygons_of(g))[0][0])
+        x0, y0 = r.min(axis=0); x1, y1 = r.max(axis=0)
+        for v in (x0, x1):
+            safe &= np.abs(px - v) > eps
+        for v in (y0, y1):
+            safe &= np.abs(py - v) > eps
+    got = kernels.points_in_polygon_geom(px, py, dist)
+    assert (got[safe] == ((cover[safe] % 2) == 1)).all()
+
+
+def test_union_pair_space_guard(spark):
+    rows = [(i, wkb.dumps(wkb.box(i, 0, i + 1, 1))) for i in range(40)]
+    df = spark.createDataFrame(rows, "left_id long, geometry binary")
+    dfr = df.withColumnRenamed("left_id", "right_id")
+    with pytest.raises(ValueError, match="pair space"):
+        overlay.overlay_join(df, dfr, "union", max_pairs=1000).collect()
+    # explicit opt-out still runs (reference semantics)
+    out = overlay.overlay_join(df.limit(3), dfr.limit(3), "union",
+                               max_pairs=None)
+    assert out.count() == 9
+    # intersection/difference stay unguarded (cell-pruned paths)
+    overlay.overlay_join(df, dfr, "intersection", max_pairs=1000).count()

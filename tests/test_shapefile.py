@@ -118,3 +118,41 @@ def test_writer_roundtrip_points_and_nulls(tmp_path):
     g = wkb.loads(bytes(back["geometry"][0]))
     assert g["type"] == "Point" and tuple(g["coordinates"]) == (1.5, -2.25)
     assert list(back["fid"]) == [1, 2, 3]
+
+
+def test_dbf_vectorized_writer_nulls_and_types(tmp_path):
+    """The struct-packed .dbf writer (no per-row Python) must encode
+    ints/floats/bools/strings with nulls exactly like the dBASE spec:
+    right-justified numerics, 'T'/'F' logicals, space-padded text,
+    all-space nulls."""
+    import pandas as pd
+
+    from spapy_spark.geometry import wkb as _wkb
+    from spapy_spark.sources import shapefile as shp
+
+    pdf = pd.DataFrame({
+        "n_int": pd.array([1, -42, None, 10**17], dtype="Int64"),
+        "n_flt": [1.5, None, -3.25, 2.0],
+        "flag": [True, False, True, False],
+        "name": ["abc", None, "é" * 300, ""],  # >254 → truncated
+        "geometry": [_wkb.dumps(_wkb.box(i, 0, i + 1, 1))
+                     for i in range(4)],
+    })
+    p = str(tmp_path / "t.shp")
+    shp.write_pdf(pdf, p)
+    back = shp.read_pdf(p)
+    assert back["n_int"][0] == 1 and back["n_int"][1] == -42
+    assert pd.isna(back["n_int"][2])
+    assert back["n_int"][3] == 10**17
+    assert back["n_flt"][0] == 1.5 and back["n_flt"][2] == -3.25
+    assert pd.isna(back["n_flt"][1])
+    assert list(back["flag"]) == [True, False, True, False]
+    assert back["name"][0] == "abc"
+    assert back["name"][2] == "é" * 254  # dBASE C width cap
+    # raw record block: deletion flag + right-justified int field
+    raw = open(str(tmp_path / "t.dbf"), "rb").read()
+    hsize = int.from_bytes(raw[8:10], "little")
+    rsize = int.from_bytes(raw[10:12], "little")
+    rec0 = raw[hsize:hsize + rsize]
+    assert rec0[0:1] == b" "
+    assert rec0[1:19] == b"                 1"  # %18d

@@ -87,6 +87,10 @@ _TILE_KEY = ["band", "tile_y", "tile_x"]
 _PTYPES = {
     "u1": "u1", "i1": "i1", "u2": "<u2", "i2": "<i2",
     "u4": "<u4", "i4": "<i4", "f4": "<f4", "f8": "<f8",
+    # complex IEEE (CFloat32/CFloat64, SampleFormat 6) — transport
+    # only: stats/algebra are real-valued ops, like GDAL most
+    # algorithms skip complex bands (reference SpaRasters.py:678)
+    "c8": "<c8", "c16": "<c16",
 }
 
 

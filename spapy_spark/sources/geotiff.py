@@ -41,6 +41,7 @@ _TILE_W, _TILE_H, _TOFF, _TCNT = 322, 323, 324, 325
 _SFMT = 339
 _MODEL_SCALE, _MODEL_TIE = 33550, 33922
 _GDAL_NODATA = 42113
+_JPEGTABLES = 347  # TIFF TechNote 2: shared abbreviated-JPEG tables
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -68,9 +69,12 @@ class TiffInfo:
     tile_byte_counts: list = field(default_factory=list)
     nodata: float | None = None
     geotransform: tuple | None = None
+    jpeg_tables: bytes | None = None
 
     @property
     def dtype(self) -> np.dtype:
+        if self.sample_format == 6:  # COMPLEXIEEEFP: CFloat32/CFloat64
+            return np.dtype(f"{self.endian}c{self.bits // 8}")
         kind = {1: "u", 2: "i", 3: "f"}[self.sample_format]
         return np.dtype(f"{self.endian}{kind}{self.bits // 8}")
 
@@ -156,15 +160,23 @@ def read_info(path: str) -> TiffInfo:
         samples_per_pixel=int(one(_SPP, 1)),
         planar=int(one(_PLANAR, 1)), predictor=int(one(317, 1)),
     )
-    if info.compression not in (1, 5, 8, 32946, 32773):
+    if info.compression not in (1, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(
             f"Compression={info.compression} not supported — only "
-            "uncompressed (1), LZW (5), Deflate (8/32946) and "
-            "PackBits (32773)"
+            "uncompressed (1), LZW (5), JPEG (7, TechNote 2), "
+            "Deflate (8/32946) and PackBits (32773)"
         )
+    if info.compression == 7:
+        if info.bits != 8:
+            raise NotImplementedError("TIFF-JPEG needs 8-bit samples")
+        if info.planar != 1:
+            raise NotImplementedError("TIFF-JPEG needs chunky planar")
+        jt = tags.get(_JPEGTABLES)
+        if jt is not None:
+            info.jpeg_tables = bytes(jt)  # type 7 raw or type-1 ints
     if info.predictor not in (1, 2):
         raise NotImplementedError(f"TIFF Predictor={info.predictor}")
-    if info.predictor == 2 and info.sample_format == 3:
+    if info.predictor == 2 and info.sample_format in (3, 6):
         raise NotImplementedError("Predictor=2 on float samples")
     if info.samples_per_pixel > 1:
         bl = tags.get(_BITS, [8])
@@ -172,7 +184,14 @@ def read_info(path: str) -> TiffInfo:
             raise NotImplementedError(f"mixed BitsPerSample {bl}")
         if info.planar not in (1, 2):
             raise NotImplementedError(f"PlanarConfiguration={info.planar}")
-    if info.bits not in (8, 16, 32, 64):
+    if info.sample_format == 6:
+        # complex IEEE (CFloat32 = 64 bits, CFloat64 = 128 bits —
+        # reference dtype table /root/reference/SpaRasters.py:678)
+        if info.bits not in (64, 128):
+            raise NotImplementedError(
+                f"complex BitsPerSample={info.bits}"
+            )
+    elif info.bits not in (8, 16, 32, 64):
         raise NotImplementedError(f"BitsPerSample={info.bits}")
     if _TILE_W in tags:
         info.tile_width = int(one(_TILE_W))
@@ -206,6 +225,38 @@ def _unpredict(a: np.ndarray, spp: int) -> np.ndarray:
     independent)."""
     v = a.reshape(a.shape[0], -1, spp)
     return np.cumsum(v, axis=1, dtype=v.dtype).reshape(a.shape)
+
+
+def _jpeg_merge(payload: bytes, tables: bytes | None) -> bytes:
+    """TIFF TechNote 2 table merge: JPEGTables is an abbreviated
+    stream (SOI…EOI) whose DQT/DHT segments prefix each strip/tile's
+    abbreviated stream.  Strips that are full interchange JPEGs pass
+    through unchanged."""
+    if tables and len(tables) >= 4 and payload[:2] == b"\xff\xd8":
+        t = bytes(tables)
+        if t[:2] == b"\xff\xd8":
+            t = t[2:]
+        if t[-2:] == b"\xff\xd9":
+            t = t[:-2]
+        return b"\xff\xd8" + t + payload[2:]
+    return payload
+
+
+def _jpeg_chunk_bytes(comp: bytes, info: TiffInfo) -> bytes:
+    """One JPEG strip/tile → raw interleaved sample bytes."""
+    from . import jpeg as _jpeg
+
+    img = _jpeg.decode_jpeg(_jpeg_merge(bytes(comp), info.jpeg_tables))
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    comps = 1 if a.ndim == 2 else a.shape[2]
+    if comps != info.samples_per_pixel:
+        raise ValueError(
+            f"JPEG strip has {comps} components,"
+            f" SamplesPerPixel={info.samples_per_pixel}"
+        )
+    return a.tobytes()
 
 
 def _rows_bytes(info: TiffInfo, f, r0: int, r1: int,
@@ -248,6 +299,8 @@ def _rows_bytes(info: TiffInfo, f, r0: int, r1: int,
                 full = tiff_lzw.lzw_decode(comp)
             elif info.compression == 32773:
                 full = packbits.packbits_decode(comp)
+            elif info.compression == 7:
+                full = _jpeg_chunk_bytes(comp, info)
             else:
                 full = zlib.decompress(comp)
             skip = (r - strip_r0) * row_bytes
@@ -292,6 +345,10 @@ def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int,
             elif info.compression == 32773:
                 raw = packbits.packbits_decode(
                     f.read(info.tile_byte_counts[ti])
+                )
+            elif info.compression == 7:
+                raw = _jpeg_chunk_bytes(
+                    f.read(info.tile_byte_counts[ti]), info
                 )
             else:
                 raw = zlib.decompress(f.read(info.tile_byte_counts[ti]))
@@ -420,6 +477,7 @@ def write_geotiff(
     dtype: str | None = None,
     bigtiff: bool = False,
     predictor: int = 1,
+    jpeg_quality: int = 90,
 ) -> None:
     """Little-endian GeoTIFF writer (strip per 64 rows), optionally
     Deflate-compressed (``compress='deflate'`` → per-strip stdlib
@@ -442,22 +500,31 @@ def write_geotiff(
     array's own dtype faithfully — any of the GDAL zoo
     u1/i1/u2/i2/u4/i4/f4/f8 (SampleFormat + BitsPerSample tags per
     /root/reference/SpaRasters.py:665-685); other codes (e.g. 'u2')
-    force that exact type."""
+    force that exact type, including complex c8/c16 (CFloat32/
+    CFloat64, SampleFormat 6 — the reference's CFloat64 entry at
+    /root/reference/SpaRasters.py:678).
+
+    ``compress='jpeg'`` writes Compression=7 (TIFF TechNote 2): each
+    strip is an independent baseline JFIF stream (uint8, 1 or 3
+    bands, lossy at ``jpeg_quality``) — the layout Common-Crawl-era
+    aerial mosaics actually ship."""
     import zlib
 
-    if compress not in (None, "deflate", "lzw", "packbits"):
+    if compress not in (None, "deflate", "lzw", "packbits", "jpeg"):
         raise ValueError(f"unsupported compress={compress!r}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported predictor={predictor}")
     a = np.asarray(arr)
     if dtype is not None:
         want = a.dtype if dtype == "native" else np.dtype(dtype)
-        if want.kind not in "uif" or want.itemsize not in (1, 2, 4, 8):
+        if want.kind not in "uifc" or want.itemsize not in (1, 2, 4, 8, 16):
             raise ValueError(f"unsupported GeoTIFF dtype {want}")
         if want.kind == "f" and want.itemsize < 4:
             raise ValueError(f"unsupported GeoTIFF dtype {want}")
+        if want.kind == "c" and want.itemsize not in (8, 16):
+            raise ValueError(f"unsupported GeoTIFF dtype {want}")
         a = a.astype(want.newbyteorder("<"))
-        sfmt = {"u": 1, "i": 2, "f": 3}[want.kind]
+        sfmt = {"u": 1, "i": 2, "f": 3, "c": 6}[want.kind]
         bits = want.itemsize * 8
     elif a.dtype.kind == "f":
         a = a.astype("<f4")
@@ -468,8 +535,13 @@ def write_geotiff(
     else:
         a = a.astype("u1")
         sfmt, bits = 1, 8
-    if predictor == 2 and sfmt == 3:
+    if predictor == 2 and sfmt in (3, 6):
         raise ValueError("predictor=2 requires integer samples")
+    if compress == "jpeg":
+        if sfmt != 1 or bits != 8:
+            raise ValueError("compress='jpeg' requires uint8 samples")
+        if predictor == 2:
+            raise ValueError("compress='jpeg' excludes predictor=2")
     if a.ndim == 2:
         spp = 1
         rows_view = a  # (h, w)
@@ -505,6 +577,12 @@ def write_geotiff(
             blob = packbits.packbits_encode(
                 blob, row_bytes=w * spp * bits // 8
             )
+        elif compress == "jpeg":
+            from . import jpeg as _jpeg
+
+            if spp not in (1, 3):
+                raise ValueError("compress='jpeg' needs 1 or 3 bands")
+            blob = _jpeg.encode_jpeg(chunk, quality=jpeg_quality)
         strip_blobs.append(blob)
         strip_offsets.append(off)
         strip_counts.append(len(blob))
@@ -533,9 +611,10 @@ def write_geotiff(
     ent(_H, 4, 1, [h])
     ent(_BITS, 3, spp, [bits] * spp)
     ent(_COMP, 3, 1,
-        [{"deflate": 8, "lzw": 5, "packbits": 32773,
+        [{"deflate": 8, "lzw": 5, "packbits": 32773, "jpeg": 7,
           None: 1}[compress]])
-    ent(_PHOTO, 3, 1, [1])
+    # JPEG strips store YCbCr for 3 bands (what the codec emits)
+    ent(_PHOTO, 3, 1, [6 if (compress == "jpeg" and spp == 3) else 1])
     ent(_SOFF, otyp, n_strips, strip_offsets)
     ent(_SPP, 3, 1, [spp])
     ent(_RPS, 4, 1, [rps])

@@ -1,0 +1,183 @@
+"""JPEG-in-TIFF (Compression=7, TIFF TechNote 2) + complex samples
+(SampleFormat=6) — the two codec seams the r4 VERDICT left open
+(reference GDAL handles both: SpaRasters.py:678, 687-752)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from spapy_spark.sources import geotiff, jpeg
+
+
+def _smooth(h, w, bands=3):
+    gy, gx = np.mgrid[0:h, 0:w]
+    out = np.stack([
+        (128 + 60 * np.sin(gx / 19.0 + b) + 50 * np.cos(gy / 23.0))
+        .clip(0, 255).astype(np.uint8)
+        for b in range(bands)
+    ])
+    return out if bands > 1 else out[0]
+
+
+def test_jpeg_tiff_rgb_matches_direct_codec(tmp_path):
+    """Reading a JPEG-compressed TIFF must give exactly what the JPEG
+    codec itself decodes — the TIFF layer adds framing, not loss."""
+    img = _smooth(150, 90, 3)  # 3 strips of 64 + remainder
+    p = str(tmp_path / "j.tif")
+    geotiff.write_geotiff(p, img, compress="jpeg", jpeg_quality=85)
+    info = geotiff.read_info(p)
+    assert info.compression == 7
+    assert info.samples_per_pixel == 3
+    # expected: per-strip encode/decode with the same codec settings
+    hwc = np.moveaxis(img, 0, 2)
+    exp_rows = []
+    for r0 in range(0, 150, 64):
+        chunk = hwc[r0 : r0 + 64]
+        exp_rows.append(jpeg.decode_jpeg(
+            jpeg.encode_jpeg(chunk, quality=85)
+        ))
+    exp = np.vstack(exp_rows)
+    for band in range(3):
+        arr, _ = geotiff.read_array(p, band=band)
+        np.testing.assert_array_equal(arr, exp[:, :, band])
+
+
+def test_jpeg_tiff_gray_and_partial_rows(tmp_path):
+    img = _smooth(70, 40, 1)
+    p = str(tmp_path / "g.tif")
+    geotiff.write_geotiff(p, img, compress="jpeg", jpeg_quality=92)
+    info = geotiff.read_info(p)
+    exp0 = jpeg.decode_jpeg(jpeg.encode_jpeg(img[:64], quality=92))
+    exp1 = jpeg.decode_jpeg(jpeg.encode_jpeg(img[64:], quality=92))
+    exp = np.vstack([exp0.reshape(64, 40), exp1.reshape(6, 40)])
+    # row-window read crossing the strip boundary
+    with open(p, "rb") as f:
+        got = geotiff._rows_bytes(info, f, 60, 70)
+    np.testing.assert_array_equal(got, exp[60:70])
+
+
+def test_jpeg_tiff_rejects_bad_configs(tmp_path):
+    img = _smooth(32, 32, 1)
+    with pytest.raises(ValueError, match="uint8"):
+        geotiff.write_geotiff(str(tmp_path / "x.tif"),
+                              img.astype(np.float32), compress="jpeg")
+    with pytest.raises(ValueError, match="predictor"):
+        geotiff.write_geotiff(str(tmp_path / "x.tif"), img,
+                              compress="jpeg", predictor=2)
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Full JFIF → (tables stream SOI+DQT/DHT+EOI, abbreviated image
+    stream without DQT/DHT) — what GDAL writes as JPEGTables."""
+    assert stream[:2] == b"\xff\xd8"
+    pos = 2
+    tables, body = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            body += stream[pos : pos + 2]
+            break
+        if marker == 0xDA:  # SOS: rest is entropy data
+            body += stream[pos:]
+            break
+        (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT → tables stream
+            tables += seg
+        else:
+            body += seg
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(body)
+
+
+def test_jpeg_tables_tag_merge(tmp_path):
+    """The JPEGTables (347) abbreviated-stream layout: tables live in
+    one shared tag, strips carry table-less streams — the reader must
+    merge them (TechNote 2)."""
+    img = _smooth(64, 48, 1)
+    full = jpeg.encode_jpeg(img, quality=88)
+    tables, body = _split_jpeg_tables(full)
+    # sanity: the abbreviated body alone is undecodable
+    with pytest.raises(Exception):
+        jpeg.decode_jpeg(body)
+
+    # hand-build a minimal single-strip TIFF with tag 347
+    p = str(tmp_path / "t.tif")
+    strip_off = 8
+    ifd_off = strip_off + len(body)
+    tags = [
+        (256, 4, 1, 48), (257, 4, 1, 64), (258, 3, 1, 8),
+        (259, 3, 1, 7), (262, 3, 1, 1),
+        (273, 4, 1, strip_off), (277, 3, 1, 1), (278, 4, 1, 64),
+        (279, 4, 1, len(body)),
+        (347, 7, len(tables), None),  # pointer, patched below
+    ]
+    esz = 12
+    tables_off = ifd_off + 2 + esz * len(tags) + 4
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += body
+    out += struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        if tag == 347:
+            out += struct.pack("<HHII", tag, typ, cnt, tables_off)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    out += tables
+    with open(p, "wb") as f:
+        f.write(bytes(out))
+
+    info = geotiff.read_info(p)
+    assert info.jpeg_tables is not None
+    arr, _ = geotiff.read_array(p)
+    exp = jpeg.decode_jpeg(full).reshape(64, 48)
+    np.testing.assert_array_equal(arr, exp)
+
+
+# ---------------------------------------------------------------------------
+# Complex samples (CFloat32/CFloat64)
+# ---------------------------------------------------------------------------
+
+
+def test_complex_roundtrip(tmp_path):
+    rng = np.random.default_rng(9)
+    for dt, bits in (("c8", 64), ("c16", 128)):
+        arr = (rng.normal(size=(33, 21))
+               + 1j * rng.normal(size=(33, 21))).astype(dt)
+        p = str(tmp_path / f"c_{dt}.tif")
+        geotiff.write_geotiff(p, arr, dtype="native")
+        info = geotiff.read_info(p)
+        assert info.sample_format == 6
+        assert info.bits == bits
+        back, _ = geotiff.read_array(p)
+        np.testing.assert_array_equal(back, arr)
+
+
+def test_complex_rejects_predictor(tmp_path):
+    arr = np.ones((8, 8), dtype="c16")
+    with pytest.raises(ValueError, match="integer"):
+        geotiff.write_geotiff(str(tmp_path / "c.tif"), arr,
+                              dtype="native", predictor=2,
+                              compress="deflate")
+
+
+def test_complex_tiles_native_dtype(spark, tmp_path):
+    """geotiff_tiles(native_dtype=True) transports complex tiles with
+    a c16 ptype tag; operators treat them as opaque (transport-only,
+    like GDAL algorithms skip complex bands)."""
+    arr = (np.arange(96 * 80).reshape(96, 80)
+           + 1j * np.arange(96 * 80)[::-1].reshape(96, 80)).astype("c16")
+    p = str(tmp_path / "ct.tif")
+    geotiff.write_geotiff(p, arr, dtype="native")
+    tiles = geotiff.geotiff_tiles(spark, p, tile=64, native_dtype=True)
+    rows = tiles.collect()
+    assert {r["ptype"] for r in rows} == {"c16"}
+    r00 = next(r for r in rows if r["tile_y"] == 0 and r["tile_x"] == 0)
+    got = np.frombuffer(r00["pixels"], dtype="<c16").reshape(
+        r00["height"], r00["width"]
+    )
+    np.testing.assert_array_equal(got, arr[:64, :64])

@@ -42,8 +42,9 @@ def test_roundtrip_uint8(tmp_path):
 
 
 def test_compressed_rejected(tmp_path):
-    # flip the Compression tag of a valid file to 7 (JPEG-in-TIFF,
-    # unsupported) — reader must refuse loudly, not return garbage
+    # flip the Compression tag of a valid file to 6 (old-style JPEG,
+    # unsupported; new-style 7 IS supported since r5) — reader must
+    # refuse loudly, not return garbage
     import struct
 
     p = str(tmp_path / "c.tif")
@@ -54,7 +55,7 @@ def test_compressed_rejected(tmp_path):
     for i in range(n):
         tag = struct.unpack_from("<H", raw, ifd + 2 + 12 * i)[0]
         if tag == 259:
-            struct.pack_into("<H", raw, ifd + 2 + 12 * i + 8, 7)
+            struct.pack_into("<H", raw, ifd + 2 + 12 * i + 8, 6)
     open(p, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError):
         geotiff.read_info(p)

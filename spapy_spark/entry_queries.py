@@ -703,6 +703,7 @@ _FRONT = [
     "gpkg_roundtrip",
     "aaigrid_roundtrip",
     "png_raster_stats",
+    "webp_raster_stats",
     "robots_wildcard",
     "robots_meta",
     "host_graph",

@@ -286,6 +286,50 @@ def _png_oracle_sql() -> str:
     )
 
 
+def q_webp_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-band uint8 raster → write_raster('.webp') → read_any →
+    per-band checksums.  VP8L is lossless (from-scratch RFC 9649
+    codec in sources/webp.py) so the closed form survives the full
+    prefix-code/LZ77 chain bit-exactly; the reference reads WebP via
+    GDAL/PIL."""
+    from .sources import io as _io
+
+    gy, gx = np.mgrid[0:75, 0:110]
+    bands = np.stack(
+        [((gx * 13 + gy * 7 + b * 29) % 251).astype(np.uint8)
+         for b in range(3)]
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"spapy_rt_{os.getpid()}.webp"
+    )
+    _io.write_raster(path, bands, cache_bits=5)
+    tiles = _io.read_any(spark, path)
+    st = raster.band_stats(tiles)
+    return st.select(
+        "band",
+        F.col("count").alias("n_px"),
+        F.col("sum").cast("long").alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+    ).orderBy("band")
+
+
+def _webp_oracle_sql() -> str:
+    return (
+        "WITH g AS (SELECT gx, gy, b FROM generate_series(0, 109) a(gx)"
+        " CROSS JOIN generate_series(0, 74) c(gy)"
+        " CROSS JOIN generate_series(0, 2) d(b))"
+        " SELECT CAST(b + 1 AS INTEGER) AS band,"
+        " CAST(count(*) AS BIGINT) AS n_px,"
+        " CAST(sum((gx * 13 + gy * 7 + b * 29) % 251) AS BIGINT)"
+        " AS sum_val,"
+        " CAST(min((gx * 13 + gy * 7 + b * 29) % 251) AS DOUBLE)"
+        " AS min_val,"
+        " CAST(max((gx * 13 + gy * 7 + b * 29) % 251) AS DOUBLE)"
+        " AS max_val"
+        " FROM g GROUP BY b ORDER BY band"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -298,6 +342,7 @@ def build_queries() -> dict:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "png_raster_stats": q_png_raster_stats,
+        "webp_raster_stats": q_webp_raster_stats,
     }
 
 
@@ -308,4 +353,5 @@ def build_oracle_sql() -> dict:
         "gpkg_roundtrip": _box_area_sql(44, 57, 31),
         "aaigrid_roundtrip": _aaigrid_oracle_sql(),
         "png_raster_stats": _png_oracle_sql(),
+        "webp_raster_stats": _webp_oracle_sql(),
     }

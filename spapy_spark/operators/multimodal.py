@@ -103,10 +103,10 @@ def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
             from ..sources import bmp
 
             img = bmp.decode_bmp(payload)
-        elif payload[:4] == b"RIFF":
-            raise NotImplementedError(
-                "RIFF image (WebP) needs a VP8 decoder stack"
-            )
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from ..sources import webp
+
+            img = webp.decode_webp(payload)  # VP8L; lossy VP8 raises
         else:
             raise ValueError(f"not an image payload ({payload[:4]!r})")
         if meta.get("channels") and img.shape[2] != meta["channels"]:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: extensions read_any routes to the raster side (reference sends any
 #: non-.shp path to SpaRasters.Load)
 RASTER_EXTS = (".tif", ".tiff", ".asc", ".png", ".jpg", ".jpeg",
-               ".gif", ".bmp")
+               ".gif", ".bmp", ".webp")
 VECTOR_EXTS = (".shp", ".geojson", ".gpkg")
 
 
@@ -103,13 +103,17 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
             spark, arr, raster_id=os.path.basename(path),
             nodata=-9999.0 if nodata is None else float(nodata), **kw
         )
-    if ext in (".png", ".jpg", ".jpeg", ".gif", ".bmp"):
+    if ext in (".png", ".jpg", ".jpeg", ".gif", ".bmp", ".webp"):
         with open(path, "rb") as f:
             payload = f.read()
         if ext == ".png":
             from . import png
 
             img = png.decode_png(payload)
+        elif ext == ".webp":
+            from . import webp
+
+            img = webp.decode_webp(payload)
         elif ext in (".jpg", ".jpeg"):
             from . import jpeg
 
@@ -175,6 +179,17 @@ def write_raster(
             raise ValueError("PNG raster save needs uint8/uint16 bands")
         img = a if a.ndim == 2 else np.transpose(a, (1, 2, 0))
         data = png.encode_png(img, **kw)
+    elif ext == ".webp":
+        from . import webp
+
+        if a.dtype != np.uint8:
+            raise ValueError("WebP raster save needs uint8 bands")
+        img = a[None] if a.ndim == 2 else a
+        if img.shape[0] not in (3, 4):
+            raise ValueError("WebP raster save needs 3 or 4 bands")
+        data = webp.encode_webp_lossless(
+            np.transpose(img, (1, 2, 0)), **kw
+        )
     elif ext in (".jpg", ".jpeg"):
         from . import jpeg
 

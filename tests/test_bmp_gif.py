@@ -166,7 +166,12 @@ def test_decode_image_dispatches_bmp_and_gif(spark):
                            fake=False)
     np.testing.assert_array_equal(out2, pal_img)
 
+    # lossless WebP now decodes (sources/webp.py); LOSSY VP8 is the
+    # remaining documented seam
+    import struct
+
+    lossy = (b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+             + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"RIFF....WEBPVP8 ",
-                        {"width": 1, "height": 1, "channels": 3},
+        mm.decode_image(lossy, {"width": 1, "height": 1, "channels": 3},
                         fake=False)

@@ -139,6 +139,47 @@ def read_geojson_seq(
     return lines.mapInPandas(gen, schema=schema)
 
 
+def write_geojson_seq(
+    df: DataFrame, path: str, geometry: str = "geometry"
+) -> None:
+    """DISTRIBUTED feature-table → line-delimited GeoJSON directory:
+    each partition renders its Features (Arrow-batched WKB→json) and
+    Spark's text sink writes them in parallel — the inverse of
+    :func:`read_geojson_seq` and the way to EXPORT at crawl scale
+    (one json document per line, splittable on re-read)."""
+    attr_cols = [c for c in df.columns if c != geometry]
+
+    def gen(batches):
+        for pdf in batches:
+            lines = []
+            for _, row in pdf.iterrows():
+                props = {}
+                for c in attr_cols:
+                    v = row[c]
+                    if isinstance(v, (np.integer,)):
+                        v = int(v)
+                    elif isinstance(v, (np.floating,)):
+                        v = float(v)
+                    elif isinstance(v, np.bool_):
+                        v = bool(v)
+                    if isinstance(v, float) and np.isnan(v):
+                        v = None
+                    props[c] = v
+                lines.append(json.dumps({
+                    "type": "Feature",
+                    "geometry": wkb_to_geometry(
+                        None if row[geometry] is None
+                        else bytes(row[geometry])
+                    ),
+                    "properties": props,
+                }))
+            yield pd.DataFrame({"value": lines})
+
+    df.mapInPandas(gen, schema="value string").write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def write_geojson(pdf: pd.DataFrame, path: str) -> None:
     """Feature table (attrs + ``geometry`` WKB) → FeatureCollection.
 

@@ -141,6 +141,31 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
     raise ValueError(f"unsupported input extension {ext!r} for {path}")
 
 
+def write_vector(pdf, path: str, **kw) -> None:
+    """Save a feature table (attrs + ``geometry`` WKB) by extension —
+    the reference's fiona-driver-from-extension Save
+    (/root/reference/SpaVectors.py:240-281): .shp → the from-scratch
+    shapefile triplet, .geojson → FeatureCollection, .gpkg →
+    GeoPackage."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".shp":
+        from . import shapefile
+
+        shapefile.write_pdf(pdf, path, **kw)
+    elif ext == ".geojson":
+        from . import geojson
+
+        geojson.write_geojson(pdf, path, **kw)
+    elif ext == ".gpkg":
+        from . import geopackage
+
+        geopackage.write_geopackage(pdf, path, **kw)
+    elif ext == ".parquet":
+        pdf.to_parquet(path)
+    else:
+        raise ValueError(f"unsupported vector save extension {ext!r}")
+
+
 def write_raster(
     path: str,
     arr: np.ndarray,

@@ -318,3 +318,48 @@ def test_gpb_header_variants():
     assert geopackage.gpb_to_wkb(blob_e) is None
     with pytest.raises(ValueError, match="magic"):
         geopackage.gpb_to_wkb(b"XX" + blob[2:])
+
+
+def test_write_vector_dispatch(tmp_path):
+    pdf = _mk_pdf(6)
+    for ext, reader in (
+        (".shp", None), (".geojson", None), (".gpkg", None),
+    ):
+        p = str(tmp_path / f"v{ext}")
+        io.write_vector(pdf, p)
+        if ext == ".shp":
+            from spapy_spark.sources import shapefile
+            back = shapefile.read_pdf(p)
+        elif ext == ".geojson":
+            back = geojson.read_geojson_pdf(p)
+        else:
+            back = geopackage.read_gpkg_pdf(p)
+        assert list(back["name"]) == list(pdf["name"])
+        # shapefile re-orients rings CW (ESRI spec) — compare as sets
+        got = {tuple(p) for p in np.asarray(
+            wkb.loads(bytes(back["geometry"][2]))["coordinates"][0]
+        )}
+        exp = {tuple(p) for p in np.asarray(
+            wkb.loads(pdf["geometry"][2])["coordinates"][0]
+        )}
+        assert got == exp
+    with pytest.raises(ValueError, match="vector save extension"):
+        io.write_vector(pdf, str(tmp_path / "v.xyz"))
+
+
+def test_geojson_seq_write_read_distributed(spark, tmp_path):
+    pdf = _mk_pdf(80)
+    df = spark.createDataFrame(pdf).repartition(5)
+    out = str(tmp_path / "seqdir")
+    geojson.write_geojson_seq(df, out)
+    back = geojson.read_geojson_seq(
+        spark, out,
+        "name string, val double, cnt long, geometry binary",
+    )
+    rows = sorted(back.collect(), key=lambda r: r["cnt"])
+    assert len(rows) == 80
+    assert rows[11]["name"] == "f11" and rows[11]["val"] == 11 * 1.25
+    np.testing.assert_array_equal(
+        wkb.loads(bytes(rows[7]["geometry"]))["coordinates"][0],
+        wkb.loads(pdf["geometry"][7])["coordinates"][0],
+    )

@@ -902,9 +902,16 @@ def transform_arrays(x, y, src, dst):
     raise ValueError(f"unsupported target CRS {dst!r}")
 
 
-def transform_geom(geom: dict, src: str, dst: str) -> dict:
+def transform_geom(geom: dict, src: str, dst: str) -> dict | None:
     """Transform a geometry dict (recursive over coordinate arrays),
-    mirroring /root/reference/SpaReferencing.py:324-356's recursion."""
+    mirroring /root/reference/SpaReferencing.py:324-356's recursion and
+    its coordinate hygiene (SpaReferencing.py:223-245): transformed
+    coords that are NaN / ±1e30 / non-finite are DROPPED; a ring needs
+    ≥3 survivors, a LineString ≥2; emptied parts fall out of Multi*
+    containers; a fully-emptied geometry returns None (the reference's
+    null result).  Divergence (documented): the reference silently
+    drops polygon interior rings ("deal with interior polys later");
+    here holes are transformed and filtered like any ring."""
     t = geom["type"]
 
     def tx(arr):
@@ -913,16 +920,40 @@ def transform_geom(geom: dict, src: str, dst: str) -> dict:
         if one:
             a = a.reshape(1, 2)
         x, y = transform_arrays(a[:, 0], a[:, 1], src, dst)
-        out = np.column_stack([x, y])
-        return out[0] if one else out
+        keep = (np.isfinite(x) & np.isfinite(y)
+                & (x != 1e30) & (y != 1e30)
+                & (x != -1e30) & (y != -1e30))
+        out = np.column_stack([x, y])[keep]
+        if one:
+            return out[0] if len(out) else None
+        return out
 
-    if t in ("Point", "LineString", "MultiPoint"):
-        return {"type": t, "coordinates": tx(geom["coordinates"])}
-    if t in ("Polygon", "MultiLineString"):
-        return {"type": t, "coordinates": [tx(r) for r in geom["coordinates"]]}
+    if t == "Point":
+        c = tx(geom["coordinates"])
+        return None if c is None else {"type": t, "coordinates": c}
+    if t in ("LineString", "MultiPoint"):
+        c = tx(geom["coordinates"])
+        need = 2 if t == "LineString" else 1
+        return ({"type": t, "coordinates": c} if len(c) >= need
+                else None)
+    if t == "Polygon":
+        rings = [tx(r) for r in geom["coordinates"]]
+        if not rings or len(rings[0]) < 3:
+            return None
+        return {"type": t,
+                "coordinates": [r for r in rings if len(r) >= 3]}
+    if t == "MultiLineString":
+        parts = [tx(r) for r in geom["coordinates"]]
+        parts = [r for r in parts if len(r) >= 2]
+        return {"type": t, "coordinates": parts} if parts else None
     if t == "MultiPolygon":
-        return {"type": t, "coordinates": [
-            [tx(r) for r in p] for p in geom["coordinates"]]}
+        polys = []
+        for p in geom["coordinates"]:
+            g = transform_geom({"type": "Polygon", "coordinates": p},
+                               src, dst)
+            if g is not None:
+                polys.append(g["coordinates"])
+        return {"type": t, "coordinates": polys} if polys else None
     raise ValueError(t)
 
 

@@ -572,3 +572,52 @@ class TestDatumShifts:
             crs.transform_arrays(
                 [10.0], [50.0], "+proj=longlat +ellps=intl", "epsg:4326"
             )
+
+
+class TestTransformGeomHygiene:
+    # reference coordinate hygiene (SpaReferencing.py:223-245):
+    # non-finite transformed coords drop; rings need >=3 survivors,
+    # lines >=2; emptied geometries -> None
+
+    def test_nan_coord_dropped_ring_survives(self):
+        g = {"type": "Polygon", "coordinates": [[
+            [0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+            [float("nan"), 0.5], [0.0, 0.0],
+        ]]}
+        out = crs.transform_geom(g, "epsg:4326", "epsg:3857")
+        assert out is not None
+        assert len(out["coordinates"][0]) == 5  # NaN vertex gone
+
+    def test_polygon_collapses_to_none(self):
+        g = {"type": "Polygon", "coordinates": [[
+            [0.0, 0.0], [float("nan"), 0.0], [float("nan"), 1.0],
+            [0.0, 0.0],
+        ]]}
+        assert crs.transform_geom(g, "epsg:4326", "epsg:3857") is None
+
+    def test_multipolygon_drops_empty_parts(self):
+        good = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]
+        bad = [[[float("nan"), 0.0], [float("nan"), 1.0],
+                [float("nan"), 2.0], [float("nan"), 0.0]]]
+        g = {"type": "MultiPolygon", "coordinates": [good, bad]}
+        out = crs.transform_geom(g, "epsg:4326", "epsg:3857")
+        assert len(out["coordinates"]) == 1
+        g2 = {"type": "MultiPolygon", "coordinates": [bad]}
+        assert crs.transform_geom(g2, "epsg:4326", "epsg:3857") is None
+
+    def test_linestring_needs_two(self):
+        g = {"type": "LineString",
+             "coordinates": [[0.0, 0.0], [float("nan"), 1.0]]}
+        assert crs.transform_geom(g, "epsg:4326", "epsg:3857") is None
+        p = {"type": "Point", "coordinates": [float("nan"), 1.0]}
+        assert crs.transform_geom(p, "epsg:4326", "epsg:3857") is None
+
+    def test_clean_geometry_unchanged_shape(self):
+        g = {"type": "Polygon", "coordinates": [
+            [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]],
+            [[0.2, 0.2], [0.4, 0.2], [0.4, 0.4], [0.2, 0.2]],
+        ]}
+        out = crs.transform_geom(g, "epsg:4326", "epsg:3857")
+        # holes are kept (documented divergence from the reference's
+        # interior-ring drop)
+        assert len(out["coordinates"]) == 2

@@ -156,6 +156,14 @@ def main():
                 "robots_wildcard",
                 "robots_meta",
                 "host_graph",
+                # round-5 IO/datum families (fixed-size fixtures; the
+                # vector roundtrips scale with sf via the orders keys)
+                "crs_nad27",
+                "geojson_roundtrip",
+                "gpkg_roundtrip",
+                "aaigrid_roundtrip",
+                "png_raster_stats",
+                "webp_raster_stats",
             )
         )
         queries = eq.build_queries()

@@ -81,6 +81,10 @@ def decode_image(payload: bytes, meta: dict, fake: bool = True) -> np.ndarray:
             from ..sources import jpeg
 
             img = jpeg.decode_jpeg(payload)
+            if img.dtype == np.uint16:
+                # 12-bit extended sequential: high-nibble display
+                # conversion, mirroring the 16-bit PNG branch
+                img = (img >> 4).astype(np.uint8)
         elif payload[:8] == b"\x89PNG\r\n\x1a\n":
             from ..sources import png
 

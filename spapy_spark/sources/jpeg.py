@@ -27,8 +27,11 @@ Scope (documented boundaries, same style as png.py/geotiff.py):
   the same quantized coefficients as the baseline encoder, so
   progressive and baseline decodes of the same image are bit-equal;
   tests assert exactly that).
-* Arithmetic coding, 12-bit precision and hierarchical modes raise
-  NotImplementedError.
+* 12-bit precision (T.81 extended sequential): encoder takes uint16
+  samples < 4096, writes SOF1 with 16-bit (Pq=1) quant tables and
+  flat canonical Huffman tables covering DC categories to 15 / AC
+  sizes to 14 (beyond Annex K's 8-bit range); decoder returns uint16.
+* Arithmetic coding and hierarchical modes raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -267,23 +270,26 @@ def _bit_length(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(rgb: np.ndarray, prec: int = 8) -> np.ndarray:
+    center = float(1 << (prec - 1))
     r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + center
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + center
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+def _ycbcr_to_rgb(ycc: np.ndarray, prec: int = 8) -> np.ndarray:
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     y = ycc[..., 0]
-    cb = ycc[..., 1] - 128.0
-    cr = ycc[..., 2] - 128.0
+    cb = ycc[..., 1] - center
+    cr = ycc[..., 2] - center
     r = y + 1.402 * cr
     g = y - 0.344136286 * cb - 0.714136286 * cr
     b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(
-        np.uint8
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, maxv).astype(
+        np.uint8 if prec == 8 else np.uint16
     )
 
 
@@ -313,7 +319,7 @@ def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _quantize_components(arr, quality, subsampling):
+def _quantize_components(arr, quality, subsampling, precision=8):
     """Shared encoder front half: level shift, (optional) chroma
     subsample, pad, DCT, quantize, zigzag.  Returns
     (comp_blocks, sub, h, w, gray, qt_l, qt_c) — baseline and
@@ -322,20 +328,36 @@ def _quantize_components(arr, quality, subsampling):
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    if arr.dtype != np.uint8 or arr.shape[2] not in (1, 3):
-        raise ValueError("need uint8 (H,W[,1|3])")
+    want_dt = np.uint8 if precision == 8 else np.uint16
+    if arr.dtype != want_dt or arr.shape[2] not in (1, 3):
+        raise ValueError(
+            f"need {np.dtype(want_dt).name} (H,W[,1|3]) for "
+            f"{precision}-bit"
+        )
+    if precision == 12 and int(arr.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be < 4096")
     h, w = arr.shape[:2]
     gray = arr.shape[2] == 1
     if subsampling not in ("4:4:4", "4:2:0"):
         raise NotImplementedError(f"subsampling {subsampling!r}")
     sub = (1, 1) if gray or subsampling == "4:4:4" else (2, 2)
     qt_l, qt_c = _quality_tables(quality)
+    if precision == 12:
+        # the conventional 8→12-bit table scaling (libjpeg: the same
+        # example tables apply, coefficients are 16x larger)
+        qt_l = np.clip(qt_l.astype(np.int64) * 16, 1, 65535).astype(
+            np.int32
+        )
+        qt_c = np.clip(qt_c.astype(np.int64) * 16, 1, 65535).astype(
+            np.int32
+        )
 
     # --- component planes, level-shifted, padded to the MCU grid
+    shift = float(1 << (precision - 1))
     if gray:
-        planes = [arr[:, :, 0].astype(np.float64) - 128.0]
+        planes = [arr[:, :, 0].astype(np.float64) - shift]
     else:
-        ycc = _rgb_to_ycbcr(arr)
+        ycc = _rgb_to_ycbcr(arr, precision)
         yp = ycc[..., 0]
         if sub == (2, 2):
             he, we = h + (h % 2), w + (w % 2)
@@ -345,7 +367,7 @@ def _quantize_components(arr, quality, subsampling):
             planes = [yp, cc[..., 0], cc[..., 1]]
         else:
             planes = [yp, ycc[..., 1], ycc[..., 2]]
-        planes = [p - 128.0 for p in planes]
+        planes = [p - shift for p in planes]
 
     mcu_h, mcu_w = 8 * sub[0], 8 * sub[1]
     hh = -(-h // mcu_h) * mcu_h
@@ -370,17 +392,40 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode (H, W), (H, W, 1) or (H, W, 3) uint8 → baseline JFIF."""
+    """Encode (H, W), (H, W, 1) or (H, W, 3) uint8 → baseline JFIF.
+
+    ``precision=12`` takes uint16 samples < 4096 and writes extended
+    sequential (SOF1) with 16-bit quant tables and flat Huffman tables
+    covering the wider DC/AC categories (T.81 §4.11 scope)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     comp_blocks, sub, h, w, gray, qt_l, qt_c = _quantize_components(
-        arr, quality, subsampling
+        arr, quality, subsampling, precision
     )
 
     # --- Huffman tables
-    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if precision == 8:
+        dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+        dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        huff_segments = (
+            (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+            (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        )
+    else:
+        dc_l = dc_c = _canonical_codes(_DC12_BITS, _DC12_VALS)
+        ac_l = ac_c = _canonical_codes(_AC12_BITS, _AC12_VALS)
+        huff_segments = (
+            (0, 0, _DC12_BITS, _DC12_VALS),
+            (1, 0, _AC12_BITS, _AC12_VALS),
+            (0, 1, _DC12_BITS, _DC12_VALS),
+            (1, 1, _AC12_BITS, _AC12_VALS),
+        )
 
     def emit_block(bw, zz, pred, dc_t, ac_t):
         diff = int(zz[0]) - pred
@@ -444,23 +489,25 @@ def encode_jpeg(
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    def dqt_body(tid, qt):
+        zz = qt.reshape(-1)[_ZIGZAG]
+        if int(zz.max()) > 255:  # Pq=1: 16-bit entries
+            return bytes([0x10 | tid]) + zz.astype(">u2").tobytes()
+        return bytes([tid]) + bytes(zz.tolist())
+
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(qt_l.reshape(-1)[_ZIGZAG].tolist()))
+    out += seg(0xDB, dqt_body(0, qt_l))
     if not gray:
-        out += seg(0xDB, bytes([1]) + bytes(qt_c.reshape(-1)[_ZIGZAG]
-                                            .tolist()))
+        out += seg(0xDB, dqt_body(1, qt_c))
     comps = b""
     for ci in range(ncomp):
         samp = (sub[1] << 4) | sub[0] if ci == 0 else 0x11
         comps += bytes([ci + 1, samp, 0 if ci == 0 else 1])
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + comps)
-    for cls, tid, bits, vals in (
-        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
-        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
-        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-    ):
+    sof_marker = 0xC0 if precision == 8 else 0xC1
+    out += seg(sof_marker,
+               struct.pack(">BHHB", precision, h, w, ncomp) + comps)
+    for cls, tid, bits, vals in huff_segments:
         if gray and tid == 1:
             continue
         out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
@@ -487,6 +534,17 @@ def encode_jpeg(
 # code, no all-ones code, T.81-legal).
 _P_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _P_DC_VALS = list(range(16))
+
+# 12-bit sequential: DC categories reach 15 and AC sizes 14, beyond the
+# Annex K tables' 11/10 — flat canonical tables (one code length,
+# incomplete prefix code, no all-ones codeword) cover the full range;
+# simpler than per-image optimization and T.81-legal
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_VALS = ([0x00, 0xF0]
+              + [(r << 4) | v for r in range(16) for v in range(1, 15)])
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0,
+              0, 0]
 _P_AC_VALS = (
     [r << 4 for r in range(15)]                     # EOB0..EOB14
     + [0xF0]                                        # ZRL
@@ -718,12 +776,17 @@ def encode_jpeg_progressive(
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    def dqt_body(tid, qt):
+        zz = qt.reshape(-1)[_ZIGZAG]
+        if int(zz.max()) > 255:  # Pq=1: 16-bit entries
+            return bytes([0x10 | tid]) + zz.astype(">u2").tobytes()
+        return bytes([tid]) + bytes(zz.tolist())
+
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(qt_l.reshape(-1)[_ZIGZAG].tolist()))
+    out += seg(0xDB, dqt_body(0, qt_l))
     if not gray:
-        out += seg(0xDB, bytes([1]) + bytes(qt_c.reshape(-1)[_ZIGZAG]
-                                            .tolist()))
+        out += seg(0xDB, dqt_body(1, qt_c))
     fcomps = b""
     for c in comps_meta:
         fcomps += bytes([c["id"], (c["h"] << 4) | c["v"],
@@ -750,7 +813,8 @@ def encode_jpeg_progressive(
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode baseline/extended-sequential/progressive JPEG →
-    (H, W, C) uint8 (C = 1 grayscale, 3 RGB)."""
+    (H, W, C), uint8 for 8-bit frames, uint16 for 12-bit
+    (C = 1 grayscale, 3 RGB)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -799,13 +863,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"{prec}-bit precision")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("12-bit requires SOF1/SOF2, not SOF0")
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append(dict(id=cid, h=samp >> 4, v=samp & 0xF, tq=tq))
-            frame = dict(h=fh, w=fw, comps=comps)
+            frame = dict(h=fh, w=fw, comps=comps, prec=prec)
         elif marker in (0xC3, *range(0xC5, 0xC8),
                         *range(0xC9, 0xCC), *range(0xCD, 0xD0)):
             raise NotImplementedError(
@@ -1076,6 +1142,10 @@ def _reconstruct(frame, coefs, qts):
     """Batched dequant + IDCT + reassembly per component (shared by
     the sequential and progressive paths)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    prec = frame.get("prec", 8)
+    shift = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    out_dt = np.uint8 if prec == 8 else np.uint16
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = []
@@ -1087,15 +1157,15 @@ def _reconstruct(frame, coefs, qts):
         blocks = raster.reshape(*zz.shape[:2], 8, 8).astype(np.float64)
         blocks *= q
         pix = np.einsum("xu,ijuv,yv->ijxy", _C.T, blocks, _C.T)
-        plane = _from_blocks(pix) + 128.0
+        plane = _from_blocks(pix) + shift
         # upsample to full resolution (sample replication)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return (np.clip(np.round(planes[0]), 0, 255)
-                .astype(np.uint8)[:, :, None])
+        return (np.clip(np.round(planes[0]), 0, maxv)
+                .astype(out_dt)[:, :, None])
     if len(planes) == 3:
-        return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return _ycbcr_to_rgb(np.stack(planes, axis=-1), prec)
     raise NotImplementedError(f"{len(planes)}-component scan")

@@ -333,3 +333,75 @@ class TestSparkPipeline:
                     minlength=4,
                 )
                 np.testing.assert_allclose(got[ch], h / h.sum(), rtol=1e-6)
+
+
+class Test12Bit:
+    """T.81 extended sequential at 12-bit precision (r4 VERDICT codec
+    seam): SOF1, Pq=1 quant tables, flat Huffman tables for the wider
+    categories, uint16 pixels."""
+
+    @staticmethod
+    def _smooth12(h=40, w=56, bands=1):
+        gy, gx = np.mgrid[0:h, 0:w]
+        planes = [
+            (2048 + 1500 * np.sin(gx / 17.0 + c)
+             + 400 * np.cos(gy / 9.0)).clip(0, 4095)
+            for c in range(bands)
+        ]
+        a = np.stack(planes, -1).astype(np.uint16)
+        return a[:, :, 0] if bands == 1 else a
+
+    def test_gray_roundtrip_quality(self):
+        img = self._smooth12()
+        enc = jpeg.encode_jpeg(img, quality=95, precision=12)
+        dec = jpeg.decode_jpeg(enc)
+        assert dec.dtype == np.uint16 and dec.shape == (40, 56, 1)
+        err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
+        assert err < 32  # ~0.8% of the 12-bit range at q95
+        # SOF1 with precision byte 12 present; no SOF0
+        assert b"\xff\xc1" in enc and b"\xff\xc0" not in enc
+        i = enc.index(b"\xff\xc1")
+        assert enc[i + 4] == 12
+
+    def test_rgb_roundtrip_and_subsampling(self):
+        img = self._smooth12(bands=3)
+        for sub in ("4:4:4", "4:2:0"):
+            enc = jpeg.encode_jpeg(img, quality=97, precision=12,
+                                   subsampling=sub)
+            dec = jpeg.decode_jpeg(enc)
+            assert dec.dtype == np.uint16
+            err = np.abs(dec.astype(int) - img.astype(int)).max()
+            assert err < (40 if sub == "4:4:4" else 160)
+
+    def test_dqt_is_16bit(self):
+        img = self._smooth12()
+        enc = jpeg.encode_jpeg(img, quality=85, precision=12)
+        i = enc.index(b"\xff\xdb")
+        assert enc[i + 4] >> 4 == 1  # Pq=1: 16-bit entries
+
+    def test_restart_markers_12bit(self):
+        img = self._smooth12(48, 40)
+        plain = jpeg.decode_jpeg(jpeg.encode_jpeg(img, precision=12))
+        enc = jpeg.encode_jpeg(img, precision=12, restart_interval=3)
+        np.testing.assert_array_equal(jpeg.decode_jpeg(enc), plain)
+
+    def test_guards(self):
+        with pytest.raises(ValueError, match="uint16"):
+            jpeg.encode_jpeg(np.zeros((8, 8), np.uint8), precision=12)
+        with pytest.raises(ValueError, match="4096"):
+            jpeg.encode_jpeg(np.full((8, 8), 5000, np.uint16),
+                             precision=12)
+        with pytest.raises(ValueError, match="8 or 12"):
+            jpeg.encode_jpeg(np.zeros((8, 8), np.uint8), precision=10)
+
+    def test_multimodal_display_conversion(self):
+        from spapy_spark.operators import multimodal as mm
+
+        img = self._smooth12(16, 24)
+        enc = jpeg.encode_jpeg(img, quality=95, precision=12)
+        out = mm.decode_image(enc, {"width": 24, "height": 16,
+                                    "channels": 1}, fake=False)
+        assert out.dtype == np.uint8
+        # high-nibble conversion tracks the source
+        exp = (jpeg.decode_jpeg(enc) >> 4).astype(np.uint8)
+        np.testing.assert_array_equal(out, exp)

@@ -75,6 +75,9 @@ class TiffInfo:
     def dtype(self) -> np.dtype:
         if self.sample_format == 6:  # COMPLEXIEEEFP: CFloat32/CFloat64
             return np.dtype(f"{self.endian}c{self.bits // 8}")
+        if self.compression == 7 and self.bits == 12:
+            # 12-bit JPEG strips decode to uint16 samples
+            return np.dtype(f"{self.endian}u2")
         kind = {1: "u", 2: "i", 3: "f"}[self.sample_format]
         return np.dtype(f"{self.endian}{kind}{self.bits // 8}")
 
@@ -167,8 +170,10 @@ def read_info(path: str) -> TiffInfo:
             "Deflate (8/32946) and PackBits (32773)"
         )
     if info.compression == 7:
-        if info.bits != 8:
-            raise NotImplementedError("TIFF-JPEG needs 8-bit samples")
+        if info.bits not in (8, 12):
+            raise NotImplementedError(
+                "TIFF-JPEG needs 8- or 12-bit samples"
+            )
         if info.planar != 1:
             raise NotImplementedError("TIFF-JPEG needs chunky planar")
         jt = tags.get(_JPEGTABLES)
@@ -191,6 +196,8 @@ def read_info(path: str) -> TiffInfo:
             raise NotImplementedError(
                 f"complex BitsPerSample={info.bits}"
             )
+    elif info.bits == 12 and info.compression == 7:
+        pass  # 12-bit JPEG strips decode to uint16
     elif info.bits not in (8, 16, 32, 64):
         raise NotImplementedError(f"BitsPerSample={info.bits}")
     if _TILE_W in tags:
@@ -247,7 +254,13 @@ def _jpeg_chunk_bytes(comp: bytes, info: TiffInfo) -> bytes:
     from . import jpeg as _jpeg
 
     img = _jpeg.decode_jpeg(_jpeg_merge(bytes(comp), info.jpeg_tables))
-    a = np.asarray(img, dtype=np.uint8)
+    a = np.asarray(img)
+    if info.bits == 12:
+        # 12-bit JPEG strips store uint16 samples (GDAL layout);
+        # match the file's declared byte order
+        a = a.astype(np.dtype(f"{info.endian}u2"))
+    else:
+        a = a.astype(np.uint8)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
     comps = 1 if a.ndim == 2 else a.shape[2]
@@ -274,7 +287,7 @@ def _rows_bytes(info: TiffInfo, f, r0: int, r1: int,
     spp = info.samples_per_pixel
     chunky = spp > 1 and info.planar == 1
     px_per_row = info.width * (spp if chunky else 1)
-    row_bytes = px_per_row * info.bits // 8
+    row_bytes = px_per_row * info.dtype.itemsize
     strips_per_plane = (
         (info.height + info.rows_per_strip - 1) // info.rows_per_strip
     )
@@ -339,7 +352,7 @@ def _rows_from_tiles(info: TiffInfo, f, r0: int, r1: int,
             ti = plane * (ntx * nty) + ty * ntx + tx
             f.seek(info.tile_offsets[ti])
             if info.compression == 1:
-                raw = f.read(vals_per_tile * info.bits // 8)
+                raw = f.read(vals_per_tile * info.dtype.itemsize)
             elif info.compression == 5:
                 raw = tiff_lzw.lzw_decode(f.read(info.tile_byte_counts[ti]))
             elif info.compression == 32773:
@@ -538,8 +551,13 @@ def write_geotiff(
     if predictor == 2 and sfmt in (3, 6):
         raise ValueError("predictor=2 requires integer samples")
     if compress == "jpeg":
-        if sfmt != 1 or bits != 8:
-            raise ValueError("compress='jpeg' requires uint8 samples")
+        if sfmt != 1 or bits not in (8, 16):
+            raise ValueError(
+                "compress='jpeg' requires uint8 (8-bit JPEG) or "
+                "uint16 (12-bit JPEG) samples"
+            )
+        if bits == 16:
+            bits = 12  # 12-bit JPEG: BitsPerSample advertises 12
         if predictor == 2:
             raise ValueError("compress='jpeg' excludes predictor=2")
     if a.ndim == 2:
@@ -582,7 +600,10 @@ def write_geotiff(
 
             if spp not in (1, 3):
                 raise ValueError("compress='jpeg' needs 1 or 3 bands")
-            blob = _jpeg.encode_jpeg(chunk, quality=jpeg_quality)
+            blob = _jpeg.encode_jpeg(
+                chunk, quality=jpeg_quality,
+                precision=12 if bits == 12 else 8,
+            )
         strip_blobs.append(blob)
         strip_offsets.append(off)
         strip_counts.append(len(blob))

@@ -181,3 +181,29 @@ def test_complex_tiles_native_dtype(spark, tmp_path):
         r00["height"], r00["width"]
     )
     np.testing.assert_array_equal(got, arr[:64, :64])
+
+
+def test_jpeg_tiff_12bit(tmp_path):
+    """GDAL's 12-bit JPEG-in-TIFF layout: BitsPerSample=12, strips are
+    SOF1 streams with uint16 samples."""
+    gy, gx = np.mgrid[0:100, 0:48]
+    img = (2048 + 1500 * np.sin(gx / 13.0)
+           + 300 * np.cos(gy / 7.0)).clip(0, 4095).astype(np.uint16)
+    p = str(tmp_path / "j12.tif")
+    geotiff.write_geotiff(p, img, compress="jpeg", jpeg_quality=95,
+                          dtype="native")
+    info = geotiff.read_info(p)
+    assert info.compression == 7 and info.bits == 12
+    assert info.dtype == np.dtype("<u2")
+    exp = np.vstack([
+        jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img[r0:r0 + 64], quality=95, precision=12)
+        ).reshape(-1, 48)
+        for r0 in range(0, 100, 64)
+    ])
+    arr, _ = geotiff.read_array(p)
+    np.testing.assert_array_equal(arr, exp)
+    # strip-window read across the boundary
+    with open(p, "rb") as f:
+        got = geotiff._rows_bytes(info, f, 60, 70)
+    np.testing.assert_array_equal(got, exp[60:70])

@@ -117,14 +117,33 @@ def _q(c: str) -> str:
     return '"' + c.replace('"', '""') + '"'
 
 
+def _rtree_name(con, table: str) -> str | None:
+    """Name of the table's gpkg_rtree_index virtual table, if any."""
+    nm = f"rtree_{table}_geom"
+    row = con.execute(
+        "SELECT name FROM sqlite_master WHERE name = ?", (nm,)
+    ).fetchone()
+    return nm if row else None
+
+
 def read_geopackage(
     spark: SparkSession,
     path: str,
     table: str | None = None,
     partitions: int | None = None,
+    bbox: tuple | None = None,
 ) -> DataFrame:
     """GeoPackage feature table → distributed Spark feature table
-    (attrs + ``geometry`` WKB binary)."""
+    (attrs + ``geometry`` WKB binary).
+
+    ``bbox=(minx, miny, maxx, maxy)`` pushes the window into the
+    container: when the file carries the gpkg_rtree_index extension
+    (SQLite R*Tree — what GDAL writes by default), every task's query
+    joins its rowid range against the index, so only intersecting
+    features are ever materialized — predicate pushdown INTO the
+    single-file store, the same property the parquet scans get from
+    PushedFilters.  Without an index the bbox falls back to a plain
+    scan-and-filter inside SQLite (still no Python-side waste)."""
     con = _open_ro(path)
     try:
         t, gcol = _resolve(con, table)
@@ -137,6 +156,7 @@ def read_geopackage(
         sample = con.execute(
             f'SELECT {", ".join(_q(c) for c in cols)} FROM "{t}" LIMIT 256'
         ).fetchall()
+        rtree = _rtree_name(con, t) if bbox is not None else None
     finally:
         con.close()
 
@@ -171,19 +191,52 @@ def read_geopackage(
     rdf = spark.createDataFrame(ranges, "r0 long, r1 long").repartition(n)
     sel = ", ".join(_q(c) for c in cols)
     abspath = os.path.abspath(path)
+    box = tuple(float(v) for v in bbox) if bbox is not None else None
 
     def gen(batches):
         con_ = sqlite3.connect(f"file:{abspath}?mode=ro", uri=True)
         try:
             for pdf in batches:
                 for r0, r1 in zip(pdf["r0"], pdf["r1"]):
-                    rows = con_.execute(
-                        f'SELECT {sel} FROM "{t}"'
-                        f" WHERE rowid BETWEEN ? AND ?",
-                        (int(r0), int(r1)),
-                    ).fetchall()
-                    if rows:
-                        yield _rows_to_pdf(cols, gcol, rows)[out_cols]
+                    if rtree is not None:
+                        rows = con_.execute(
+                            f'SELECT {sel} FROM "{t}"'
+                            " WHERE rowid BETWEEN ? AND ?"
+                            " AND rowid IN (SELECT id FROM"
+                            f' "{rtree}" WHERE maxx >= ? AND minx <= ?'
+                            " AND maxy >= ? AND miny <= ?)",
+                            (int(r0), int(r1),
+                             box[0], box[2], box[1], box[3]),
+                        ).fetchall()
+                    else:
+                        rows = con_.execute(
+                            f'SELECT {sel} FROM "{t}"'
+                            f" WHERE rowid BETWEEN ? AND ?",
+                            (int(r0), int(r1)),
+                        ).fetchall()
+                    if not rows:
+                        continue
+                    out = _rows_to_pdf(cols, gcol, rows)
+                    if box is not None and rtree is None:
+                        # no index in the file: exact bbox filter on
+                        # decoded envelopes, still SQLite/Arrow-side
+                        from ..geometry import kernels, wkb as _wkb
+
+                        keep = []
+                        for b in out["geometry"]:
+                            if b is None:
+                                keep.append(False)
+                                continue
+                            x0, y0, x1, y1 = kernels.geom_bounds(
+                                _wkb.loads(bytes(b))
+                            )
+                            keep.append(x1 >= box[0] and x0 <= box[2]
+                                        and y1 >= box[1]
+                                        and y0 <= box[3])
+                        out = out[keep]
+                        if not len(out):
+                            continue
+                    yield out[out_cols]
         finally:
             con_.close()
 
@@ -204,10 +257,16 @@ def write_geopackage(
     path: str,
     table: str = "features",
     srs_id: int = 4326,
+    spatial_index: bool = True,
 ) -> None:
     """Feature table (attrs + ``geometry`` WKB) → .gpkg with the
     required registry tables (spec §1.1.1-§2.1.6).  Driver-side
-    export like the shapefile/GeoJSON writers."""
+    export like the shapefile/GeoJSON writers.
+
+    ``spatial_index=True`` (GDAL's default too) also writes the
+    gpkg_rtree_index extension — an SQLite R*Tree over feature
+    envelopes — which read_geopackage's ``bbox`` pushes window
+    queries into."""
     if os.path.exists(path):
         os.remove(path)
     con = sqlite3.connect(path)
@@ -299,6 +358,40 @@ def write_geopackage(
             " 0, 0)",
             (table, gtype, srs_id),
         )
+        if spatial_index:
+            from ..geometry import kernels, wkb as _wkb
+
+            rt = f"rtree_{table}_geom"
+            con.execute(
+                f'CREATE VIRTUAL TABLE "{rt}" USING rtree(id, minx,'
+                " maxx, miny, maxy)"
+            )
+            ent = []
+            fids = con.execute(
+                f'SELECT fid, geom FROM {_q(table)} ORDER BY fid'
+            ).fetchall()
+            for fid, blob in fids:
+                w = gpb_to_wkb(blob)
+                if w is None:
+                    continue
+                x0, y0, x1, y1 = kernels.geom_bounds(_wkb.loads(w))
+                ent.append((fid, x0, x1, y0, y1))
+            con.executemany(
+                f'INSERT INTO "{rt}" VALUES (?,?,?,?,?)', ent
+            )
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS gpkg_extensions ("
+                "table_name TEXT, column_name TEXT,"
+                " extension_name TEXT NOT NULL, definition TEXT NOT"
+                " NULL, scope TEXT NOT NULL)"
+            )
+            con.execute(
+                "INSERT INTO gpkg_extensions VALUES (?, 'geom',"
+                " 'gpkg_rtree_index',"
+                " 'http://www.geopackage.org/spec120/#extension_rtree',"
+                " 'write-only')",
+                (table,),
+            )
         con.commit()
     finally:
         con.close()

@@ -78,6 +78,11 @@ def read_any(spark: SparkSession, path: str, **kw) -> DataFrame:
     """str path → DataFrame, dispatched on extension (GetInput parity:
     ``.shp``→vector, raster extensions→tile table, anything unknown
     raises; /root/reference/SpaBase.py:143-153)."""
+    low = path.lower()
+    if low.endswith((".warc", ".warc.gz")):
+        from . import warc
+
+        return warc.read_warc(spark, path)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".shp":
         from . import shapefile

@@ -363,3 +363,55 @@ def test_geojson_seq_write_read_distributed(spark, tmp_path):
         wkb.loads(bytes(rows[7]["geometry"]))["coordinates"][0],
         wkb.loads(pdf["geometry"][7])["coordinates"][0],
     )
+
+
+def test_gpkg_rtree_bbox_pushdown(spark, tmp_path):
+    """bbox window queries push into the gpkg_rtree_index extension;
+    results match the indexless exact filter and a pandas oracle."""
+    pdf = _mk_pdf(200)  # boxes at (i%10, i//10)..+1
+    p_idx = str(tmp_path / "idx.gpkg")
+    p_plain = str(tmp_path / "plain.gpkg")
+    geopackage.write_geopackage(pdf, p_idx, spatial_index=True)
+    geopackage.write_geopackage(pdf, p_plain, spatial_index=False)
+    con = sqlite3.connect(p_idx)
+    try:
+        assert con.execute(
+            "SELECT count(*) FROM gpkg_extensions WHERE"
+            " extension_name='gpkg_rtree_index'"
+        ).fetchone()[0] == 1
+        assert con.execute(
+            "SELECT count(*) FROM rtree_features_geom"
+        ).fetchone()[0] == 200
+    finally:
+        con.close()
+    box = (2.5, 3.5, 5.5, 7.5)
+    exp = set()
+    for i in range(200):
+        x0, y0 = i % 10, i // 10
+        if (x0 + 1 >= box[0] and x0 <= box[2]
+                and y0 + 1 >= box[1] and y0 <= box[3]):
+            exp.add(f"f{i}")
+    got_idx = {r["name"] for r in geopackage.read_geopackage(
+        spark, p_idx, partitions=6, bbox=box).collect()}
+    got_plain = {r["name"] for r in geopackage.read_geopackage(
+        spark, p_plain, partitions=6, bbox=box).collect()}
+    assert got_idx == exp
+    assert got_plain == exp
+    # no bbox → everything, index or not
+    assert geopackage.read_geopackage(spark, p_idx).count() == 200
+
+
+def test_read_any_dispatches_warc(spark, tmp_path):
+    from spapy_spark.sources import warc as warcmod
+
+    recs = [
+        ("http://a.example/1", "2026-08-18T00:00:00Z",
+         b"<html>one</html>"),
+        ("http://a.example/2", "2026-08-18T00:00:01Z",
+         b"<html>two</html>"),
+    ]
+    p = str(tmp_path / "crawl.warc.gz")
+    with open(p, "wb") as f:
+        f.write(warcmod.build_warc(recs, gzip_records=True))
+    df = io.read_any(spark, p)
+    assert df.count() == 2

@@ -701,6 +701,7 @@ _FRONT = [
     "crs_nad27",
     "geojson_roundtrip",
     "gpkg_roundtrip",
+    "gpkg_bbox_window",
     "aaigrid_roundtrip",
     "png_raster_stats",
     "webp_raster_stats",

@@ -200,6 +200,43 @@ def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("point_id")
 
 
+def q_gpkg_bbox_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage window read THROUGH the gpkg_rtree_index extension:
+    the writer builds the SQLite R*Tree, every rowid-range task joins
+    its slice against it, and only window-intersecting features ever
+    leave the container (GDAL reads GPKG windows the same way).  The
+    oracle recomputes the envelope intersection in closed form, so a
+    wrong index entry OR a wrong pushdown predicate breaks the hash."""
+    from .operators import vector as _vector
+    from .sources import geopackage
+
+    pdf = _box_fixture(sf_dir, 28, 9973, 7919, 57, 31)
+    path = os.path.join(
+        tempfile.gettempdir(), f"spapy_rt_{os.getpid()}_win.gpkg"
+    )
+    geopackage.write_geopackage(pdf, path, table="boxes")
+    bbox = (-1.0, -1.5, 1.25, 0.75)
+    df = geopackage.read_geopackage(spark, path, partitions=8, bbox=bbox)
+    out = _vector.with_area(df)
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"), "area"
+    ).orderBy("point_id")
+
+
+def _gpkg_bbox_oracle_sql() -> str:
+    cx = "(((o_orderkey * 9973) % 4096) / 1024.0 - 2.0)"
+    cy = "(((o_orderkey * 7919) % 4096) / 1024.0 - 2.0)"
+    w = "(((((o_orderkey * 57) % 256)) + 64) / 1024.0)"
+    h = "(((((o_orderkey * 31) % 256)) + 64) / 1024.0)"
+    return (
+        f"SELECT o_orderkey AS point_id, (2 * {w}) * (2 * {h}) AS area"
+        " FROM orders WHERE o_orderkey % 28 = 0"
+        f" AND {cx} + {w} >= -1.0 AND {cx} - {w} <= 1.25"
+        f" AND {cy} + {h} >= -1.5 AND {cy} - {h} <= 0.75"
+        " ORDER BY point_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Raster save/read extension map — AAIGrid + PNG through write_raster /
 # read_any (r4 VERDICT missing #1/#2)
@@ -340,6 +377,7 @@ def build_queries() -> dict:
         "crs_nad27": q_crs_nad27,
         "geojson_roundtrip": q_geojson_roundtrip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "gpkg_bbox_window": q_gpkg_bbox_window,
         "aaigrid_roundtrip": q_aaigrid_roundtrip,
         "png_raster_stats": q_png_raster_stats,
         "webp_raster_stats": q_webp_raster_stats,
@@ -351,6 +389,7 @@ def build_oracle_sql() -> dict:
         "crs_nad27": _crs_nad27_oracle_sql(),
         "geojson_roundtrip": _box_area_sql(36, 31, 57),
         "gpkg_roundtrip": _box_area_sql(44, 57, 31),
+        "gpkg_bbox_window": _gpkg_bbox_oracle_sql(),
         "aaigrid_roundtrip": _aaigrid_oracle_sql(),
         "png_raster_stats": _png_oracle_sql(),
         "webp_raster_stats": _webp_oracle_sql(),
